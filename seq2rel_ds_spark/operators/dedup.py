@@ -1,0 +1,318 @@
+"""Deduplication operators over a documents table — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale notes (the design constraints, not afterthoughts):
+  * exact dedup aggregates on a *hash* of the normalized text, never the
+    text itself (tiny shuffle rows), with optional two-phase salting for
+    pathological duplicate skew (the same boilerplate page a billion times).
+  * candidate generation for near-dup is always bucket-join shaped (shingle,
+    LSH band, or simhash chunk) — never an all-pairs cross join.
+  * all hashing is md5-derived, so every step is engine-portable and every
+    operator has an exact SQL oracle (no Spark-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", salt_buckets: int = 0
+) -> DataFrame:
+    """Exact duplicate groups: (keep_id, n_dups) per distinct normalized text
+    with >1 occurrence.  keep_id = min id (deterministic survivor).
+
+    With ``salt_buckets > 0`` the aggregation runs two-phase (salted partial
+    then final) so a single mega-duplicate key cannot hot-spot one reducer —
+    the mandated pattern for hub skew.
+    """
+    keyed = docs.select(
+        F.md5(normalized_text(F.col(text_col))).alias("text_hash"), F.col(id_col).alias("id")
+    )
+    if salt_buckets > 0:
+        partial = keyed.groupBy(
+            "text_hash", F.pmod(F.xxhash64("id"), F.lit(salt_buckets)).alias("_salt")
+        ).agg(F.min("id").alias("min_id"), F.count("*").alias("cnt"))
+        grouped = partial.groupBy("text_hash").agg(
+            F.min("min_id").alias("keep_id"), F.sum("cnt").alias("n_dups")
+        )
+    else:
+        grouped = keyed.groupBy("text_hash").agg(
+            F.min("id").alias("keep_id"), F.count("*").alias("n_dups")
+        )
+    return grouped.filter(F.col("n_dups") > 1).select("text_hash", "keep_id", "n_dups")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors only: one row per distinct normalized text (min id wins)."""
+    keyed = docs.withColumn("text_hash", F.md5(normalized_text(F.col(text_col))))
+    ranked = keyed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return ranked.join(docs, id_col, "inner").drop("text_hash")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (JVM-side)."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Candidate generation is a shingle-bucket self-join (skew-resistant: very
+    frequent shingles fan out, so production runs should pre-drop stop-
+    shingles; here the synthetic corpus is benign), intersection counts come
+    from a single groupBy, and union sizes from two broadcast-able joins.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, n: int = 3, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of hex-string minima.
+
+    h_k(shingle) = md5(k || ':' || shingle); the signature entry is the
+    lexicographic minimum — a valid min-wise scheme over a random permutation
+    per k, and byte-portable to any engine with md5.
+    """
+    sh = shingles_col(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s))))
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands of r = num_hashes/bands rows; a pair is a candidate iff some band
+    hashes identically; candidates are then verified so the output is exact
+    (LSH only prunes).  Probability a true pair at Jaccard s survives:
+    1 - (1 - s^r)^bands.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), n, num_hashes)
+    with_sig = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"), sig.alias("sig"))
+    band_rows = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.array_join(F.slice(F.col("sig"), bi * r + 1, r), "|")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verify candidates with exact shingle Jaccard (join back to shingles).
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == sh_b["id_b"]) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash of the token multiset: per token, md5-derived bit pattern;
+    each output bit is the sign of the summed (+1/-1) votes.  Pure Catalyst.
+
+    Bits come from 4-bit nibbles of the token's md5 hex (16 nibbles x 4 bits
+    = 64).  Deterministic and engine-portable.
+    """
+    toks = F.split(normalized_text(text), " ")
+    hashed = F.transform(toks, lambda t: F.md5(t))
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h, i=i: acc
+            + F.when(
+                (F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int") & (1 << (i % 4)))
+                > 0,
+                1,
+            ).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    return F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0")) for v in bit_votes]).alias(
+        "simhash"
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    chunks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Candidate generation: pigeonhole on ``chunks`` bit-chunks — any pair
+    within distance < chunks shares at least one identical chunk, so the
+    self-join runs on chunk-value buckets, never all pairs.
+    """
+    assert chunks > max_hamming, "pigeonhole requires chunks > max_hamming"
+    width = bits // chunks
+    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk_idx"),
+                        F.substring("sh", ci * width + 1, width).alias("chunk"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk_idx", "cc.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.arrays_zip(F.split("sh_a", ""), F.split("sh_b", "")),
+            lambda z: z["0"] != z["1"],
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine >= threshold.
+
+    All-pairs here is candidate generation for small dims / sampled shards;
+    the scale path buckets by LSH sign-planes first (see similarity.py).
+    Dot products run JVM-side via ``aggregate`` over zipped arrays in double
+    precision (stable across engines), rounded to 6dp.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    e = embeddings.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

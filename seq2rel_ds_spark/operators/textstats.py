@@ -1,0 +1,130 @@
+"""Text analytics over a documents table — first-class large-scale
+training-data-pipeline operators (language ID, quality scoring, token
+counting, fingerprinting).
+
+Everything here is pure Catalyst (JVM, whole-stage codegen, no shuffle except
+where aggregation is requested) and deterministic, so every operator has an
+exact external-SQL oracle.  Floating outputs are rounded explicitly to keep
+cross-engine comparisons stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic.  Deterministic and intentionally small; real deployments swap in
+# fuller profiles via the same operator.
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(F.regexp_replace(F.trim(text), r"\s+", " "), " ")
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, n_distinct_tokens, avg_token_len (rounded, 4dp)."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0, 1]:
+
+        0.4 * stopword presence + 0.3 * lexical diversity + 0.3 * length fit
+
+    Deterministic arithmetic only; 4dp rounding for oracle stability.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    stop_ratio = n_stop / n
+    diversity = F.size(F.array_distinct(toks)) / n
+    length_fit = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    return docs.withColumn(
+        "quality_score",
+        F.round(
+            F.least(stop_ratio * 4, F.lit(1.0)) * 0.4 + diversity * 0.3 + length_fit * 0.3,
+            4,
+        ),
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: argmax of per-language hit counts,
+    deterministic tie-break on language code; 'und' when nothing matches."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.size(
+                        F.filter(
+                            toks,
+                            lambda t, words=words: F.array_contains(
+                                F.array(*[F.lit(w) for w in words]), t
+                            ),
+                        )
+                    )
+                ).cast("long").alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.get(F.array_sort(scored), 0)
+    return docs.withColumn(
+        "lang_guess", F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+    ).withColumn("lang_guess_hits", -best["neg_hits"])
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    * ``fp_md5``  — md5 of the whitespace-normalized, lowercased text
+      (portable: identical in any engine with md5) — the exact-dup key.
+    * ``fp_roll`` — 61-bit Karp-Rabin rolling hash over normalized bytes,
+      computed JVM-side via ``aggregate`` (no UDF); used for shard-local
+      chunk fingerprinting at scale.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    mod = F.lit(2305843009213693951).cast("long")  # 2^61 - 1
+    roll = F.aggregate(
+        F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 131 + c, mod),
+    )
+    return docs.withColumn("fp_md5", F.md5(norm)).withColumn("fp_roll", roll)
+
+
+def token_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequencies (two-phase: map-side partial aggregation
+    happens automatically for the count aggregate after explode)."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(F.lower(F.col("token")).alias("token"))
+        .agg(F.count("*").alias("freq"))
+    )

@@ -12,6 +12,7 @@ Provides
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 from pathlib import Path
@@ -21,9 +22,15 @@ import pytest
 REFERENCE_ROOT = Path("/root/reference")
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_reference_dep_stubs() -> None:
     if "wasabi" not in sys.modules:
-        wasabi = types.ModuleType("wasabi")
+        wasabi = _stub_module("wasabi")
 
         class _Printer:  # noqa: D401 - minimal stand-in
             def __init__(self, *a, **k):
@@ -46,7 +53,7 @@ def _install_reference_dep_stubs() -> None:
         sys.modules["wasabi"] = wasabi
 
     if "typer" not in sys.modules:
-        typer = types.ModuleType("typer")
+        typer = _stub_module("typer")
 
         class _Typer:
             def __init__(self, *a, **k):
@@ -65,7 +72,7 @@ def _install_reference_dep_stubs() -> None:
         typer.Argument = _passthrough
         typer.Option = _passthrough
         sys.modules["typer"] = typer
-        testing = types.ModuleType("typer.testing")
+        testing = _stub_module("typer.testing")
 
         class _CliRunner:
             pass
@@ -74,7 +81,7 @@ def _install_reference_dep_stubs() -> None:
         sys.modules["typer.testing"] = testing
 
     if "more_itertools" not in sys.modules:
-        mit = types.ModuleType("more_itertools")
+        mit = _stub_module("more_itertools")
 
         def chunked(iterable, n):
             buf = []
@@ -90,8 +97,8 @@ def _install_reference_dep_stubs() -> None:
         sys.modules["more_itertools"] = mit
 
     if "sklearn" not in sys.modules:
-        skl = types.ModuleType("sklearn")
-        model_selection = types.ModuleType("sklearn.model_selection")
+        skl = _stub_module("sklearn")
+        model_selection = _stub_module("sklearn.model_selection")
 
         def train_test_split(data, test_size=None, **kwargs):
             n = len(data)
@@ -104,8 +111,8 @@ def _install_reference_dep_stubs() -> None:
         sys.modules["sklearn.model_selection"] = model_selection
 
     if "boltons" not in sys.modules:
-        boltons = types.ModuleType("boltons")
-        jsonutils = types.ModuleType("boltons.jsonutils")
+        boltons = _stub_module("boltons")
+        jsonutils = _stub_module("boltons.jsonutils")
 
         def JSONLIterator(fh):
             import json

@@ -134,6 +134,139 @@ SAME_PAIR_TWO_LABELS_CORPUS = "\n".join(
 )
 
 
+# --- GDA shape (abstracts / anns / labels.csv) -----------------------------
+
+GDA_ABSTRACTS = "\n\n".join(
+    [
+        "9001\nGene tafA drives mild skin rash.\nCarriers of tafA variants showed skin rash more often.",
+        # title-only article (abstract line optional, gda.py:44-46)
+        "9002\nLoss of borC linked to night blindness.",
+    ]
+)
+
+GDA_ANNS = "\n\n".join(
+    [
+        "\n".join(
+            [
+                "9001\t5\t9\ttafA\tGene\tG100",
+                "9001\t21\t30\tskin rash\tDisease\tD200",
+                # unsorted on purpose (anns.txt arrives unsorted)
+                "9001\t45\t49\ttafA\tGene\tG100",
+            ]
+        ),
+        "\n".join(
+            [
+                "9002\t8\t12\tborC\tGene\tG101",
+                "9002\t23\t38\tnight blindness\tDisease\tD201",
+            ]
+        ),
+    ]
+)
+
+GDA_LABELS = "\n".join(
+    [
+        "pmid,geneId,diseaseId,label",
+        "9001,G100,D200,1",
+        "9002,G101,D201,1",
+    ]
+)
+
+# --- DocRED shape -----------------------------------------------------------
+
+DOCRED_EXAMPLES = [
+    {
+        "sents": [
+            ["Mistral", "Bay", "lies", "within", "Coral", "Province", "."],
+            ["The", "bay", "hosts", "Mistral", "Harbor", "."],
+        ],
+        "vertexSet": [
+            [
+                {"name": "Mistral Bay", "pos": [0, 2], "sent_id": 0, "type": "LOC"},
+                # mention in a second sentence (prefix-sum offset case)
+                {"name": "Mistral Harbor", "pos": [3, 5], "sent_id": 1, "type": "LOC"},
+            ],
+            [{"name": "Coral Province", "pos": [4, 6], "sent_id": 0, "type": "LOC"}],
+        ],
+        "labels": [{"r": "P131", "h": 0, "t": 1}],
+    },
+    # a document with no labels -> empty relation string output
+    {
+        "sents": [["Quiet", "village", "with", "no", "claims", "."]],
+        "vertexSet": [
+            [{"name": "Quiet village", "pos": [0, 2], "sent_id": 0, "type": "LOC"}]
+        ],
+        "labels": [],
+    },
+    # two relations sharing both entities, different labels (ordering pin)
+    {
+        "sents": [["Arlen", "Keep", "guards", "Dunmore", "Pass", "."]],
+        "vertexSet": [
+            [{"name": "Arlen Keep", "pos": [0, 2], "sent_id": 0, "type": "LOC"}],
+            [{"name": "Dunmore Pass", "pos": [3, 5], "sent_id": 0, "type": "LOC"}],
+        ],
+        "labels": [
+            {"r": "P131", "h": 0, "t": 1},
+            {"r": "P47", "h": 0, "t": 1},
+        ],
+    },
+]
+
+DOCRED_TYPES = {
+    "relations": {
+        "P131": {"verbose": "located in the administrative territorial entity"},
+        "P47": {"verbose": "shares border with, sometimes"},
+    }
+}
+
+# --- DGM shape (JSONL, token spans, 3-ary candidates) -----------------------
+
+DGM_EXAMPLES = [
+    {
+        "pmid": "7001",
+        "paragraphs": [
+            ["tivo", "zane", "blocks", "kinase", "raf9", "in", "cells", "."],
+            ["the", "m12v", "variant", "resists", "tivo", "zane", "."],
+        ],
+        "mentions": [
+            [
+                {"start": 0, "end": 2, "type": "drug", "name": "tivozane"},
+                {"start": 4, "end": 5, "type": "gene", "name": "raf9"},
+            ],
+            [
+                {"start": 1, "end": 2, "type": "variant", "name": "m12v"},
+                {"start": 4, "end": 6, "type": "drug", "name": "tivozane"},
+            ],
+        ],
+        "triple_candidates": [
+            {"drug": "tivozane", "gene": "raf9", "variant": "m12v", "label": 1},
+            {"drug": "tivozane", "gene": "raf9", "variant": "m12v", "label": 0},
+        ],
+    },
+    # empty candidates -> example dropped entirely
+    {
+        "pmid": "7002",
+        "paragraphs": [["nothing", "here", "."]],
+        "mentions": [[]],
+        "triple_candidates": [],
+    },
+    # overlapping occurrences: "ata ata" contains "ata" -> findall case via
+    # a mention text that repeats in the abstract
+    {
+        "pmid": "7003",
+        "paragraphs": [["drugx", "helps", ".", "drugx", "binds", "geney", "."]],
+        "mentions": [
+            [
+                {"start": 0, "end": 1, "type": "drug", "name": "drugx"},
+                {"start": 5, "end": 6, "type": "gene", "name": "geney"},
+            ]
+        ],
+        "triple_candidates": [
+            {"drug": "drugx", "gene": "geney", "variant": "v1v", "label": 1}
+        ],
+    },
+]
+
+
 def all_fixture_corpora() -> dict:
     return {
         "cdr": CDR_CORPUS,
