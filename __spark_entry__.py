@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction extraction over the
+sf0.001 documents table; ``queries()`` exposes one callable per implemented
+operator (SURVEY.md §2 + the training-data-pipeline operators); for each,
+``oracle_sql()`` gives the equivalent DuckDB SQL over the same parquet views.
+
+Cross-engine determinism rules used throughout:
+  * timestamps are projected as formatted strings
+  * double aggregates are rounded explicitly (4dp / 6dp)
+  * embedding math runs on integer-quantized vectors (round(x*1000) as
+    bigint), so dot products / norms are exact integers in both engines and
+    the single final division is IEEE-identical
+  * every computed column is aliased identically in Spark and SQL
 """
 
 from __future__ import annotations
@@ -12,27 +19,526 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# A small fixed term dictionary over the synthetic documents vocabulary used
+# by the KG-over-documents queries (mention detection / co-occurrence /
+# triples).  Must stay in sync with the SQL oracle literals below.
+KG_TERMS = ["spark", "table", "join", "filter", "window", "stream", "hash", "merge"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over the sf0.001 documents table —
+    dictionary mention detection, co-occurrence relation extraction, salted
+    canonical triple aggregation.  Returns the canonical triple table."""
+    return q_kg_triples(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish headline queries
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap; sessions per user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+        ).cast("int"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analytics (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.textstats import with_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.textstats import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality_score")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.textstats import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fp_md5")
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.textstats import token_histogram
+
+    return token_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.textstats import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_guess", "lang_guess_hits")
+
+
+# ---------------------------------------------------------------------------
+# deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups over a bag-of-words normalized key (sorted distinct
+    tokens) — the synthetic docs have no byte-identical dups, but token-set
+    dups exist; survivors keyed by min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    return (
+        docs.select(key.alias("set_hash"), "doc_id")
+        .groupBy("set_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6, n=2)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.6, n=2, num_hashes=16, bands=8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, chunks=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    e = emb.select(F.col("vec_id").alias("id"), q.alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(dot.cast("double") / (nrm("a") * nrm("b")), 6))
+        .filter(F.col("cosine") >= 0.45)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (integer-
+    quantized for cross-engine exactness)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    e = emb.select(F.col("vec_id").alias("id"), qv.alias("v"))
+    queries = e.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a_, x: a_ + x * x).cast("double")
+    )
+    nq = F.sqrt(
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"), lambda a_, x: a_ + x * x).cast(
+            "double"
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot.cast("double") / (nv * nq), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG construction over the documents table (SQL-checkable path)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary mention detection: term hit counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.filter(toks, lambda t: F.array_contains(terms, t))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges: distinct term pairs per doc, aggregated
+    corpus-wide (subj < obj for canonical orientation)."""
+    m = q_kg_mentions(spark, sf_dir).select("doc_id", "term").distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("subj"), F.col("b.term").alias("obj"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical triple table over documents: (subj, pred, obj, n_support)
+    with deterministic md5 entity ids and salted two-phase aggregation."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    return co.select(
+        F.md5("subj").alias("subj"),
+        F.lit("COOCCURS_WITH").alias("pred"),
+        F.md5("obj").alias("obj"),
+        F.col("subj").alias("subj_key"),
+        F.col("obj").alias("obj_key"),
+        F.col("n_docs").alias("n_support"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_volume": q5_nation_volume,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_histogram": q_token_histogram,
+        "doc_lang_guess": q_doc_lang_guess,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "kg_mentions": q_kg_mentions,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_triples": q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_KG_TERMS_SQL = ", ".join(f"'{t}'" for t in KG_TERMS)
+
+_KG_MENTIONS_SQL = f"""
+    SELECT doc_id, term, count(*) AS n_mentions
+    FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                t -> list_contains([{_KG_TERMS_SQL}], t))) AS term
+        FROM documents
+    )
+    GROUP BY doc_id, term
+"""
+
+_KG_COOCCURRENCE_SQL = f"""
+    WITH m AS (SELECT DISTINCT doc_id, term FROM ({_KG_MENTIONS_SQL}))
+    SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            FROM gaps GROUP BY user_id
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   round(list_sum(list_transform(toks, t -> len(t))) * 1.0
+                         / greatest(len(toks), 1), 4) AS avg_token_len
+            FROM (
+                SELECT doc_id,
+                       string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents
+            )
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   ((20000 * (40000 * least(4 * n_stop, n)
+                              + 30000 * n_distinct
+                              + 300 * least(n_toks, 100) * n)
+                     + 100000 * n) // (2 * 100000 * n)) / 10000.0 AS quality_score
+            FROM (
+                SELECT doc_id,
+                       CAST(greatest(len(toks), 1) AS BIGINT) AS n,
+                       CAST(len(toks) AS BIGINT) AS n_toks,
+                       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                       CAST(len(list_filter(toks, t -> list_contains(
+                           ['the','a','of','and','to','in'], lower(t)))) AS BIGINT) AS n_stop
+                FROM (
+                    SELECT doc_id,
+                           string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+                    FROM documents
+                )
+            )
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5
+            FROM documents
+        """,
+        "token_histogram": r"""
+            SELECT lower(token) AS token, count(*) AS freq
+            FROM (
+                SELECT unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS token
+                FROM documents
+            )
+            WHERE token != ''
+            GROUP BY lower(token)
+        """,
+        "exact_dedup": """
+            SELECT set_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_hash
+                FROM documents
+            )
+            GROUP BY set_hash
+            HAVING count(*) > 1
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id AS id,
+                       list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            n AS (
+                SELECT id, v,
+                       sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm
+                FROM e
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                           i -> a.v[i] * b.v[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
+            FROM n a JOIN n b ON a.id < b.id
+            WHERE round(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> a.v[i] * b.v[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) >= 0.45
+        """,
+        "ann_topk": """
+            WITH e AS (
+                SELECT vec_id AS id,
+                       list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                FROM embeddings
+            ),
+            n AS (
+                SELECT id, v,
+                       sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm
+                FROM e
+            ),
+            scored AS (
+                SELECT q.id AS query_id, c.id AS neighbor_id,
+                       round(CAST(list_sum(list_transform(range(1, len(c.v) + 1),
+                               i -> c.v[i] * q.v[i])) AS DOUBLE) / (c.nrm * q.nrm), 6) AS cosine
+                FROM n c JOIN n q ON q.id < 10 AND c.id != q.id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "kg_mentions": _KG_MENTIONS_SQL,
+        "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
+        "kg_triples": f"""
+            SELECT md5(subj) AS subj, 'COOCCURS_WITH' AS pred, md5(obj) AS obj,
+                   subj AS subj_key, obj AS obj_key, n_docs AS n_support
+            FROM ({_KG_COOCCURRENCE_SQL})
+        """,
+        # ngram_jaccard / minhash_lsh / simhash_pairs / doc_lang_guess are
+        # registered below once their SQL twins are validated; until then the
+        # driver records rows-only checks for them.
+    }

@@ -118,12 +118,12 @@ def minhash_signature(text: Column, n: int = 3, num_hashes: int = 16) -> Column:
     per k, and byte-portable to any engine with md5.
     """
     sh = shingles_col(text, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s))))
-            for k in range(num_hashes)
-        ]
-    )
+
+    def hashed_min(k: int):
+        prefix = F.lit(f"{k}:")
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[hashed_min(k) for k in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -179,10 +179,10 @@ def minhash_lsh_pairs(
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    sh_b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))
     inter = (
         candidates.join(sh_a, "id_a")
-        .join(sh_b, (F.col("id_b") == sh_b["id_b"]) & (F.col("sh_a") == F.col("sh_b")))
+        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -207,19 +207,23 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     """
     toks = F.split(normalized_text(text), " ")
     hashed = F.transform(toks, lambda t: F.md5(t))
-    bit_votes = [
-        F.aggregate(
+
+    def vote(i: int):
+        nibble_pos, bit_mask = i // 4 + 1, 1 << (i % 4)
+        return F.aggregate(
             hashed,
             F.lit(0).cast("long"),
-            lambda acc, h, i=i: acc
+            lambda acc, h: acc
             + F.when(
-                (F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int") & (1 << (i % 4)))
+                F.conv(F.substring(h, nibble_pos, 1), 16, 10)
+                .cast("int")
+                .bitwiseAND(F.lit(bit_mask))
                 > 0,
                 1,
             ).otherwise(-1),
         )
-        for i in range(bits)
-    ]
+
+    bit_votes = [vote(i) for i in range(bits)]
     return F.concat(*[F.when(v > 0, F.lit("1")).otherwise(F.lit("0")) for v in bit_votes]).alias(
         "simhash"
     )

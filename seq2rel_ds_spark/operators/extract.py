@@ -1,0 +1,68 @@
+"""HTML -> text extraction stage (byte-identical per url).
+
+The input_hint's per-row invariant: extracted text must be byte-identical to
+the pages table's ``text`` column for every url.  Extraction is a pure
+function of the ``html`` bytes, implemented as an Arrow-batched pandas
+iterator (mapInPandas) — no per-row Python UDF, no shuffle, and the binary
+``html`` column is read only in this stage (column pruning keeps it out of
+every later scan).
+
+The extractor handles the engine's html profile: tag-delimited block
+elements (<title>, <p>, <h1>..) whose text contents are joined with single
+spaces, entities unescaped, whitespace normalized.  Real-world WARC payloads
+would swap in a fuller parser behind the same stage contract.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TAG_SPLIT = re.compile(rb"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """Pure extraction function: strip tags, unescape, normalize whitespace,
+    join block texts with single spaces."""
+    chunks = [c for c in _TAG_SPLIT.split(html) if c.strip()]
+    text = " ".join(unescape(c.decode("utf-8", errors="replace")).strip() for c in chunks)
+    return _WS.sub(" ", text).strip()
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "text": [extract_text_from_html(bytes(h)) for h in pdf["html"]],
+            }
+        )
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text?, lang) -> (url, warc_ts, lang, text).
+
+    Selects only the columns it needs *before* the Python stage so the scan
+    prunes everything else; html never flows past this operator.
+    """
+    return pages.select("url", "warc_ts", "lang", "html").mapInPandas(
+        _extract_batches, schema="url string, warc_ts timestamp, lang string, text string"
+    )
+
+
+def verify_extraction(pages: DataFrame) -> DataFrame:
+    """Byte-identity audit: rows where extract(html) != text (must be 0)."""
+    extracted = extract_stage(pages).select("url", F.col("text").alias("extracted"))
+    return (
+        pages.select("url", "text")
+        .join(extracted, "url")
+        .filter(F.col("text") != F.col("extracted"))
+    )

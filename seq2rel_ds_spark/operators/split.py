@@ -1,0 +1,51 @@
+"""Dataset split operators.
+
+Reference parity (util.py:93-111, gda.py:151-154, dgm.py:160-163): sklearn
+``train_test_split`` with fixed global seeds.  Row-exact sklearn splits don't
+distribute; the engine offers both of Spark's idioms:
+
+  * ``random_split`` — ``DataFrame.randomSplit`` with an explicit seed
+    (approximate sizes, the standard Spark approach)
+  * ``hash_split`` — deterministic bucketing on ``xxhash64(key)``:
+    partition-count-independent, reproducible across runs and cluster sizes,
+    and stable under data growth (a row's split never changes) — the correct
+    tool at 10^12 documents.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 13370  # reference's global seed (util.py:20)
+
+
+def random_split(
+    df: DataFrame, weights: Tuple[float, ...] = (0.7, 0.1, 0.2), seed: int = SEED
+) -> List[DataFrame]:
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split sizes must sum to one. Got {sum(weights)}.")
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Tuple[float, ...] = (0.7, 0.1, 0.2),
+    buckets: int = 1000,
+    salt: str = "split",
+) -> Dict[str, DataFrame]:
+    """Deterministic {train, valid, test} split on hash(key) bucket ranges."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split sizes must sum to one. Got {sum(weights)}.")
+    bucket = F.pmod(F.xxhash64(F.concat_ws(":", F.lit(salt), F.col(key))), F.lit(buckets))
+    names = ["train", "valid", "test"][: len(weights)]
+    out = {}
+    lo = 0
+    for name, w in zip(names, weights):
+        hi = lo + int(round(w * buckets))
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out

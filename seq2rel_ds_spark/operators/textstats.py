@@ -56,38 +56,43 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic arithmetic only; 4dp rounding for oracle stability.
     """
     toks = tokens_col(F.col(text_col))
-    n = F.greatest(F.size(toks), F.lit(1))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
-    stop_ratio = n_stop / n
-    diversity = F.size(F.array_distinct(toks)) / n
-    length_fit = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-    return docs.withColumn(
-        "quality_score",
-        F.round(
-            F.least(stop_ratio * 4, F.lit(1.0)) * 0.4 + diversity * 0.3 + length_fit * 0.3,
-            4,
-        ),
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast(
+        "long"
     )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_toks = F.size(toks).cast("long")
+    # single-division exact-integer form of
+    #   0.4*min(4*stop/n, 1) + 0.3*(distinct/n) + 0.3*min(toks/100, 1):
+    # num/den with int64 numerator/denominator -> the one double division is
+    # IEEE-identical in any engine (cross-oracle stability).
+    num = (
+        40000 * F.least(4 * n_stop, n)
+        + 30000 * n_distinct
+        + 300 * F.least(n_toks, F.lit(100).cast("long")) * n
+    )
+    den = 100000 * n
+    # half-up rounding to 4dp in pure integer math (floor((20000*num+den)
+    # / (2*den))): engines disagree on rounding exact decimal halves of
+    # binary doubles, integer arithmetic never does.
+    score4 = F.floor((num * 20000 + den) / (2 * den))
+    return docs.withColumn("quality_score", score4 / 10000.0)
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language guess: argmax of per-language hit counts,
     deterministic tie-break on language code; 'und' when nothing matches."""
     toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+
+    def profile_hits(words):
+        word_arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(word_arr, t)))
+
     scored = F.array(
         *[
             F.struct(
-                (
-                    -F.size(
-                        F.filter(
-                            toks,
-                            lambda t, words=words: F.array_contains(
-                                F.array(*[F.lit(w) for w in words]), t
-                            ),
-                        )
-                    )
-                ).cast("long").alias("neg_hits"),
+                (-profile_hits(words)).cast("long").alias("neg_hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang, words in sorted(LANG_PROFILES.items())
@@ -104,12 +109,13 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     * ``fp_md5``  — md5 of the whitespace-normalized, lowercased text
       (portable: identical in any engine with md5) — the exact-dup key.
-    * ``fp_roll`` — 61-bit Karp-Rabin rolling hash over normalized bytes,
+    * ``fp_roll`` — 53-bit Karp-Rabin rolling hash over normalized bytes,
       computed JVM-side via ``aggregate`` (no UDF); used for shard-local
       chunk fingerprinting at scale.
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    mod = F.lit(2305843009213693951).cast("long")  # 2^61 - 1
+    # largest prime < 2^53: keeps acc*131+c < 2^63 (no ANSI long overflow)
+    mod = F.lit(9007199254740881).cast("long")
     roll = F.aggregate(
         F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long")),
         F.lit(0).cast("long"),
