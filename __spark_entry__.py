@@ -531,6 +531,96 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
         """,
+        "doc_lang_guess": r"""
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN h_de = best THEN 'de'
+                        WHEN h_en = best THEN 'en'
+                        WHEN h_es = best THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   best AS lang_guess_hits
+            FROM (
+                SELECT doc_id,
+                       greatest(h_de, h_en, h_es, h_fr) AS best,
+                       h_de, h_en, h_es, h_fr
+                FROM (
+                    SELECT doc_id,
+                           len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS h_de,
+                           len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS h_en,
+                           len(list_filter(toks, t -> list_contains(['el','la','de','que','y'], t))) AS h_es,
+                           len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS h_fr
+                    FROM (
+                        SELECT doc_id,
+                               list_transform(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                                              t -> lower(t)) AS toks
+                        FROM documents
+                    )
+                )
+            )
+        """,
+        "ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(
+                CASE WHEN len(toks) >= 2
+                     THEN list_distinct(list_transform(range(1, len(toks)),
+                                                       i -> array_to_string(toks[i:i+1], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
+        """,
+        "minhash_lsh": r"""
+            WITH docsh AS (
+              SELECT doc_id AS id,
+                CASE WHEN len(toks) >= 2
+                     THEN list_distinct(list_transform(range(1, len(toks)),
+                                                       i -> array_to_string(toks[i:i+1], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ),
+            sig AS (
+              SELECT id, list_transform(range(0, 16),
+                     k -> list_aggregate(list_transform(shingles,
+                            s -> md5(k::VARCHAR || ':' || s)), 'min')) AS sig
+              FROM docsh
+            ),
+            bands AS (
+              SELECT id, bi AS band,
+                     md5(array_to_string(sig[bi*2+1 : bi*2+2], '|')) AS bucket
+              FROM sig, unnest(range(0, 8)) AS t(bi)
+            ),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ),
+            sh AS (SELECT id, unnest(shingles) AS shingle FROM docsh),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.id = c.id_a
+              JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
+        """,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""

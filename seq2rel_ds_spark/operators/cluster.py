@@ -66,11 +66,20 @@ def connected_components(
         )
         if it % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)
-        # convergence: edge set unchanged
-        delta = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
-        e = new_e
-        if delta == 0:
+        # convergence: order-free edge-set checksum (one job, no extra
+        # shuffle); the hash sum runs in decimal(38,0) — summing raw int64
+        # hashes overflows long under ANSI mode.
+        def _sig(df: DataFrame):
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            ).first()
+            return (row["n"], row["h"])
+
+        if _sig(new_e) == _sig(e):
+            e = new_e
             break
+        e = new_e
 
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     # ensure roots map to themselves

@@ -1,20 +1,23 @@
-"""Sentence-windowed dictionary mention detection (batched, vectorized).
+"""Sentence-windowed dictionary scanning (batched, vectorized).
 
-Stage contract (north_star): text -> (url, sent_idx, start, end, surface,
-sent_start) mention rows, via a broadcast surface dictionary compiled into
-one alternation regex (longest-surface-first so compound surfaces win over
-their prefixes).  Runs as mapInPandas over Arrow batches: the dictionary is
-compiled once per executor task, matching is C-speed (re engine) per batch —
-no per-row Python round trips, no shuffle.
+One Arrow pass over the extracted text does ALL sentence-window work the
+downstream stages need:
+  * mention rows    — dictionary surface hits (longest-surface-first regex)
+  * predicate cues  — relation cue-word hits (when a predicate dict is given)
+
+Emitting both from the single scan matters at scale: the alternative
+(re-joining sentences against full document text later) ships every document
+body through a shuffle once per consumer.  Here text is read exactly once and
+only small typed rows flow on.
 
 Offsets are document-level character spans (sentence start + in-sentence
-match span) so downstream ordering semantics match the parse path.
+match span) so downstream ordering matches the parse path's semantics.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -22,9 +25,12 @@ from pyspark.sql import functions as F
 
 _SENT_SPLIT = re.compile(r"(?<=\.)\s+")
 
-MENTION_SCHEMA = (
-    "url string, sent_idx int, sent_start int, start int, end int, surface string"
+SCAN_SCHEMA = (
+    "url string, sent_idx int, sent_start int, start int, end int, "
+    "kind string, token string"
 )
+
+MENTION_COLUMNS = ["url", "sent_idx", "sent_start", "start", "end", "surface"]
 
 
 def _compile_dictionary(surfaces: List[str]) -> "re.Pattern":
@@ -32,53 +38,121 @@ def _compile_dictionary(surfaces: List[str]) -> "re.Pattern":
     return re.compile(r"\b(" + "|".join(re.escape(s) for s in ordered) + r")\b")
 
 
-def detect_mentions(texts: DataFrame, surfaces: List[str], text_col: str = "text") -> DataFrame:
-    """texts(url, text) -> mention rows.  ``surfaces`` rides to executors in
-    the serialized closure (broadcast-equivalent for a dictionary of this
-    size; a full-scale run would swap in ``SparkContext.broadcast``)."""
-    pattern_surfaces = list(surfaces)
+def scan_sentences(
+    texts: DataFrame,
+    surfaces: List[str],
+    predicates: Optional[Dict[str, str]] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """texts(url, text) -> scan rows (kind = 'mention' | 'cue').
 
-    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    For cue rows, ``token`` carries the predicate LABEL (not the cue word)
+    and (start, end) the cue span.  The dictionaries ride to executors in
+    the task closure (broadcast-equivalent at this size; swap for
+    ``SparkContext.broadcast`` for multi-MB dictionaries).
+    """
+    pattern_surfaces = list(surfaces)
+    preds = dict(predicates or {})
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compile_dictionary(pattern_surfaces)
+        cue_pat = (
+            re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
+            if preds
+            else None
+        )
         for pdf in batches:
-            out = {k: [] for k in ("url", "sent_idx", "sent_start", "start", "end", "surface")}
+            out = {
+                k: []
+                for k in ("url", "sent_idx", "sent_start", "start", "end", "kind", "token")
+            }
+
+            def emit(url, sent_idx, sent_start, s, e, kind, token):
+                out["url"].append(url)
+                out["sent_idx"].append(sent_idx)
+                out["sent_start"].append(sent_start)
+                out["start"].append(s)
+                out["end"].append(e)
+                out["kind"].append(kind)
+                out["token"].append(token)
+
             for url, text in zip(pdf["url"], pdf[text_col]):
                 pos = 0
                 for sent_idx, sent in enumerate(_SENT_SPLIT.split(text)):
                     sent_start = text.index(sent, pos)
                     pos = sent_start + len(sent)
                     for m in pat.finditer(sent):
-                        out["url"].append(url)
-                        out["sent_idx"].append(sent_idx)
-                        out["sent_start"].append(sent_start)
-                        out["start"].append(sent_start + m.start())
-                        out["end"].append(sent_start + m.end())
-                        out["surface"].append(m.group(0))
+                        emit(
+                            url,
+                            sent_idx,
+                            sent_start,
+                            sent_start + m.start(),
+                            sent_start + m.end(),
+                            "mention",
+                            m.group(0),
+                        )
+                    if cue_pat is not None:
+                        for c in cue_pat.finditer(sent):
+                            emit(
+                                url,
+                                sent_idx,
+                                sent_start,
+                                sent_start + c.start(),
+                                sent_start + c.end(),
+                                "cue",
+                                preds[c.group(0)],
+                            )
             yield pd.DataFrame(out)
 
-    return texts.select("url", text_col).mapInPandas(find, schema=MENTION_SCHEMA)
+    return texts.select("url", text_col).mapInPandas(scan, schema=SCAN_SCHEMA)
 
 
-def link_mentions(mentions: DataFrame, dictionary: DataFrame, texts: DataFrame) -> DataFrame:
+def detect_mentions(texts: DataFrame, surfaces: List[str], text_col: str = "text") -> DataFrame:
+    """Mention rows only (back-compat surface of the scanner)."""
+    scans = scan_sentences(texts, surfaces, predicates=None, text_col=text_col)
+    return scans.filter(F.col("kind") == "mention").select(
+        "url", "sent_idx", "sent_start", "start", "end", F.col("token").alias("surface")
+    )
+
+
+def cue_rows(scans: DataFrame) -> DataFrame:
+    """Predicate-cue rows from a scan (url, sent_idx, cue_pos, pred)."""
+    return scans.filter(F.col("kind") == "cue").select(
+        "url",
+        "sent_idx",
+        F.col("start").alias("cue_pos"),
+        F.col("token").alias("pred"),
+    )
+
+
+def mention_rows(scans: DataFrame) -> DataFrame:
+    return scans.filter(F.col("kind") == "mention").select(
+        "url", "sent_idx", "sent_start", "start", "end", F.col("token").alias("surface")
+    )
+
+
+def link_mentions(
+    mentions: DataFrame, dictionary: DataFrame, texts: DataFrame = None
+) -> DataFrame:
     """Dictionary + context entity linking.
 
     Broadcast-join mentions to candidate uids on surface; ambiguous surfaces
-    (one surface, many uids) are resolved by a deterministic context score:
-    count of *other* mentions in the same document whose candidate set
-    contains the same uid's label — a label-coherence prior — with (score
-    desc, uid asc) tie-break.  All Catalyst: join + window, no Python.
+    (one surface, many uids) resolve by a deterministic context score — a
+    label-coherence prior (count of mentions in the same document sharing the
+    candidate's label) — with (score desc, canonical first, uid asc)
+    tie-break.  All Catalyst: one broadcast join + two windows over the same
+    url partitioning; no Python, no extra shuffle for the score.
     """
-    cands = mentions.join(F.broadcast(dictionary), "surface", "inner")
-    # label-coherence score: per (url, label) mention count
-    label_freq = cands.groupBy("url", "label").agg(F.count("*").alias("label_hits"))
-    scored = cands.join(label_freq, ["url", "label"], "left")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url", "start", "end").orderBy(
+    cands = mentions.join(F.broadcast(dictionary), "surface", "inner")
+    label_w = Window.partitionBy("url", "label")
+    scored = cands.withColumn("label_hits", F.count("*").over(label_w))
+    pick_w = Window.partitionBy("url", "start", "end").orderBy(
         F.desc("label_hits"), F.desc("is_canonical"), F.asc("uid")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(pick_w))
         .filter(F.col("rnk") == 1)
         .select("url", "sent_idx", "sent_start", "start", "end", "surface", "uid", "label")
     )

@@ -12,87 +12,46 @@ Stages (north_star wording in parentheses):
 
 from __future__ import annotations
 
-from typing import Dict
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def extract_relations(
     linked_mentions: DataFrame,
-    texts: DataFrame,
-    predicates: Dict[str, str],
-    text_col: str = "text",
+    cues: DataFrame,
 ) -> DataFrame:
     """(url, sent_idx, subj_uid, pred, obj_uid) from sentence windows.
 
-    A sentence expresses a relation when it contains a predicate cue word;
-    the subject is the mention ending closest before the cue, the object the
-    mention starting closest after it.  Everything is JVM-side: sentence
-    cue positions come from ``instr`` on the sentence slice, nearest
-    mentions via two windows.
+    ``cues`` are the predicate cue rows emitted by the sentence scanner
+    (url, sent_idx, cue_pos, pred) — produced in the same Arrow pass as the
+    mentions, so no document text is ever re-joined here.  A sentence
+    expresses a relation when it contains a cue; the subject is the mention
+    ending closest before the cue, the object the mention starting closest
+    after it (two windows over small typed rows).
     """
-    # sentence text via document slice: [sent_start, next boundary); we only
-    # need the cue position, so instr over the remaining document suffices
-    # when bounded by the sentence's mention spans.
-    sents = linked_mentions.select("url", "sent_idx", "sent_start").distinct()
-    doc = texts.select("url", F.col(text_col).alias("_doc"))
-
-    cue_entries = []
-    for word, label in sorted(predicates.items()):
-        cue_entries.append(F.struct(F.lit(word).alias("cue"), F.lit(label).alias("pred")))
-    cues = F.array(*cue_entries)
-
-    # locate the first cue in each sentence window
-    with_doc = sents.join(doc, "url")
-    sent_text = F.substring_index(
-        F.substring(F.col("_doc"), F.col("sent_start") + 1, 1_000_000), ". ", 1
-    )
-    located = (
-        with_doc.withColumn(
-            "hit",
-            F.filter(
-                F.transform(
-                    cues,
-                    lambda c: F.struct(
-                        (F.instr(sent_text, F.concat(F.lit(" "), c["cue"], F.lit(" ")))).alias(
-                            "pos"
-                        ),
-                        c["pred"].alias("pred"),
-                    ),
-                ),
-                lambda h: h["pos"] > 0,
+    located = cues.select("url", "sent_idx", "cue_pos", "pred")
+    joined = located.join(linked_mentions, ["url", "sent_idx"])
+    # One hash aggregate instead of (2 windows + 2 joins): subject = the
+    # mention with the largest end before the cue (tie: largest uid), object
+    # = the smallest start after it (tie: smallest uid).  max_by/min_by skip
+    # rows whose ordering expression is NULL, i.e. the wrong side of the cue.
+    agg = joined.groupBy("url", "sent_idx", "cue_pos", "pred").agg(
+        F.max_by(
+            "uid",
+            F.when(
+                F.col("end") <= F.col("cue_pos"), F.struct(F.col("end"), F.col("uid"))
             ),
-        )
-        .filter(F.size("hit") > 0)
-        .select(
-            "url",
-            "sent_idx",
-            "sent_start",
-            (F.get(F.col("hit"), 0)["pos"] + F.col("sent_start")).alias("cue_pos"),
-            F.get(F.col("hit"), 0)["pred"].alias("pred"),
-        )
+        ).alias("subj_uid"),
+        F.min_by(
+            "uid",
+            F.when(
+                F.col("start") > F.col("cue_pos"), F.struct(F.col("start"), F.col("uid"))
+            ),
+        ).alias("obj_uid"),
     )
-
-    m = linked_mentions.alias("m")
-    joined = located.join(m, ["url", "sent_idx"])
-    subj_w = Window.partitionBy("url", "sent_idx", "cue_pos").orderBy(F.desc("end"))
-    obj_w = Window.partitionBy("url", "sent_idx", "cue_pos").orderBy(F.asc("start"))
-    subj = (
-        joined.filter(F.col("end") <= F.col("cue_pos"))
-        .withColumn("rnk", F.row_number().over(subj_w))
-        .filter(F.col("rnk") == 1)
-        .select("url", "sent_idx", "cue_pos", "pred", F.col("uid").alias("subj_uid"))
-    )
-    obj = (
-        joined.filter(F.col("start") > F.col("cue_pos"))
-        .withColumn("rnk", F.row_number().over(obj_w))
-        .filter(F.col("rnk") == 1)
-        .select("url", "sent_idx", "cue_pos", F.col("uid").alias("obj_uid"))
-    )
-    return subj.join(obj, ["url", "sent_idx", "cue_pos"]).select(
-        "url", "sent_idx", "subj_uid", "pred", "obj_uid"
-    )
+    return agg.filter(
+        F.col("subj_uid").isNotNull() & F.col("obj_uid").isNotNull()
+    ).select("url", "sent_idx", "subj_uid", "pred", "obj_uid")
 
 
 def canonicalize_triples(

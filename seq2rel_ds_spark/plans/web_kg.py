@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from seq2rel_ds_spark.operators.cluster import connected_components
 from seq2rel_ds_spark.operators.extract import extract_stage
-from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
+from seq2rel_ds_spark.operators.mention import (
+    cue_rows,
+    link_mentions,
+    mention_rows,
+    scan_sentences,
+)
 from seq2rel_ds_spark.operators.triples import canonicalize_triples, extract_relations
 from seq2rel_ds_spark.plans.pipeline import Pipeline
 from seq2rel_ds_spark.sources import pages as pages_src
@@ -62,13 +67,15 @@ def run_web_kg(
         else pages_src.synthesize_pages(spark, n_docs, partitions),
     )
     texts = pipe.stage("extract", lambda o: extract_stage(o["pages"]))
-    mentions = pipe.stage(
-        "mentions", lambda o: detect_mentions(o["extract"], surfaces)
+    # one Arrow pass emits mention AND predicate-cue rows; the stage
+    # materializes both so neither downstream branch rescans text
+    scans = pipe.stage(
+        "scan", lambda o: scan_sentences(o["extract"], surfaces, pages_src.PREDICATES)
     )
     linked = pipe.stage(
         "linked",
         # explicit repartition after the skew-heavy link stage (north_star)
-        lambda o: link_mentions(o["mentions"], dictionary, o["extract"]).repartition(
+        lambda o: link_mentions(mention_rows(o["scan"]), dictionary).repartition(
             partitions, "url"
         ),
     )
@@ -78,7 +85,7 @@ def run_web_kg(
         )
     relations = pipe.stage(
         "relations",
-        lambda o: extract_relations(o["linked"], o["extract"], pages_src.PREDICATES),
+        lambda o: extract_relations(o["linked"], cue_rows(o["scan"])),
     )
     triples = pipe.stage(
         "triples",

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from seq2rel_ds_spark.operators.extract import _extract_batches
-from seq2rel_ds_spark.operators.mention import MENTION_SCHEMA, detect_mentions
+from seq2rel_ds_spark.operators.mention import detect_mentions
 from seq2rel_ds_spark.sources.pages import _PAGES_SCHEMA
 
 
