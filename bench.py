@@ -89,38 +89,41 @@ def run_kg_fused(spark, pages, partitions: int) -> tuple:
     return n, sec
 
 
-def kg_child(cores: int, n_docs: int) -> None:
-    """Subprocess entry: one parallelism level, warm-up + timed run.
-
-    The pages table is synthesized to parquet first (untimed) so the timed
-    section measures the pipeline over a real columnar scan — generation
-    cost (pure Python) is input preparation, not engine throughput.
-    """
-    import shutil
-    import tempfile
-
+def kg_child(cores: int, pages_path: str) -> None:
+    """Subprocess entry: one parallelism level, warm-up + timed run over a
+    pre-generated pages parquet (both levels read the SAME bytes)."""
     from seq2rel_ds_spark.session import get_spark
-    from seq2rel_ds_spark.sources.pages import synthesize_pages
 
     spark = get_spark(
-        app_name=f"bench-kg-local[{cores}]", cores=cores, shuffle_partitions=2 * cores
+        app_name=f"bench-kg-local[{cores}]",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        # python-heavy scan stages need split granularity matched to cores,
+        # not the 128m analytics default (tiny bench inputs would otherwise
+        # coalesce to ~12 partitions and cap parallelism)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
     )
-    workdir = tempfile.mkdtemp(prefix=f"bench_kg_{cores}_")
     try:
-        path = f"{workdir}/pages"
-        synthesize_pages(spark, n_docs, partitions=2 * cores).write.parquet(path)
-        pages = spark.read.parquet(path)
+        pages = spark.read.parquet(pages_path)
         run_kg_fused(spark, pages, partitions=cores)  # warm-up (JIT + workers)
         n, sec = run_kg_fused(spark, pages, partitions=2 * cores)
         print(json.dumps({"cores": cores, "n_triples": n, "seconds": round(sec, 3)}))
     finally:
-        shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
 
-def _spawn_kg(cores: int, n_docs: int) -> dict:
+def _spawn_kg(cores: int, pages_path: str) -> dict:
+    """Run one parallelism level in its own JVM, pinned to exactly ``cores``
+    CPUs.  Pinning matters: Python UDF workers are separate OS processes
+    that escape local[N]'s *thread* budget — without affinity an "N-core"
+    run would borrow idle host CPUs and fake the low-core baseline."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--kg-child", str(cores), pages_path]
+    import shutil as _shutil
+
+    if _shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--kg-child", str(cores), str(n_docs)],
+        cmd,
         capture_output=True,
         text=True,
         check=True,
@@ -131,23 +134,34 @@ def _spawn_kg(cores: int, n_docs: int) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--kg-child":
-        kg_child(int(sys.argv[2]), int(sys.argv[3]))
+        kg_child(int(sys.argv[2]), sys.argv[3])
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "40000"))
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "1280000"))
     cores_low = max(cpus // 4, 1)
     t_start = time.time()
 
+    import shutil
+    import tempfile
+
     from seq2rel_ds_spark.session import get_spark
+    from seq2rel_ds_spark.sources.pages import synthesize_pages
 
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
     timings = run_queries(spark, sf_dir)
+    # generate the scaling input once (untimed input preparation)
+    kg_dir = tempfile.mkdtemp(prefix="bench_kg_pages_")
+    pages_path = f"{kg_dir}/pages"
+    synthesize_pages(spark, kg_docs, partitions=4 * cpus).write.parquet(pages_path)
     spark.stop()
 
-    lo = _spawn_kg(cores_low, kg_docs)
-    hi = _spawn_kg(cpus, kg_docs)
+    try:
+        lo = _spawn_kg(cores_low, pages_path)
+        hi = _spawn_kg(cpus, pages_path)
+    finally:
+        shutil.rmtree(kg_dir, ignore_errors=True)
     thr_lo = lo["n_triples"] / lo["seconds"] if lo["seconds"] else 0.0
     thr_hi = hi["n_triples"] / hi["seconds"] if hi["seconds"] else 0.0
     eff = (thr_hi / thr_lo) / (cpus / cores_low) if thr_lo else 0.0
