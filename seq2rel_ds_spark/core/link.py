@@ -1,0 +1,84 @@
+"""Doc-local entity linking + sentence relation selection (pure Python).
+
+These are the per-document semantics used inside the fused Arrow scan pass
+(operators/mention.py:fused_relation_scan).  Kept Spark-free so they are
+unit-testable and provably identical to the Catalyst operators
+(operators/mention.py:link_mentions, operators/triples.py:extract_relations)
+— the DataFrame variants remain the right choice when the dictionary is too
+large to ship in task closures or when linking needs cross-document signals.
+
+Semantics (must stay in lockstep with the Catalyst twins):
+  * candidate score = label coherence: number of candidate rows in the SAME
+    document sharing the candidate's label
+  * tie-break: (score desc, canonical-form first, uid asc)
+  * relation per cue: subject = mention with max (end, uid) ending at or
+    before the cue; object = mention with min (start, uid) starting after it
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# dictionary entry: surface -> list of (uid, label, is_canonical)
+Dictionary = Dict[str, List[Tuple[str, str, bool]]]
+
+
+def link_doc_mentions(
+    mentions: Sequence[Tuple[int, int, int, str]],  # (sent_idx, start, end, surface)
+    dictionary: Dictionary,
+) -> List[Tuple[int, int, int, str, str, str]]:
+    """Resolve each mention to one (uid, label) using label coherence.
+
+    Returns rows (sent_idx, start, end, surface, uid, label); mentions whose
+    surface has no dictionary entry are dropped (inner-join semantics).
+    """
+    label_hits: Dict[str, int] = {}
+    cand_rows = []
+    for sent_idx, start, end, surface in mentions:
+        cands = dictionary.get(surface)
+        if not cands:
+            continue
+        cand_rows.append((sent_idx, start, end, surface, cands))
+        for _, label, _ in cands:
+            label_hits[label] = label_hits.get(label, 0) + 1
+
+    out = []
+    for sent_idx, start, end, surface, cands in cand_rows:
+        best = min(
+            cands,
+            key=lambda c: (-label_hits.get(c[1], 0), not c[2], c[0]),
+        )
+        out.append((sent_idx, start, end, surface, best[0], best[1]))
+    return out
+
+
+def select_relations(
+    linked: Sequence[Tuple[int, int, int, str, str, str]],
+    cues: Sequence[Tuple[int, int, str]],  # (sent_idx, cue_pos, pred)
+) -> List[Tuple[int, str, str, str]]:
+    """Per cue: (sent_idx, subj_uid, pred, obj_uid) or nothing if either
+    side is empty.  Mirrors the max_by/min_by aggregate exactly."""
+    by_sent: Dict[int, list] = {}
+    for sent_idx, start, end, _surface, uid, _label in linked:
+        by_sent.setdefault(sent_idx, []).append((start, end, uid))
+
+    out = []
+    for sent_idx, cue_pos, pred in cues:
+        ms = by_sent.get(sent_idx, ())
+        subj = max(
+            ((end, uid) for start, end, uid in ms if end <= cue_pos), default=None
+        )
+        obj = min(
+            ((start, uid) for start, end, uid in ms if start > cue_pos), default=None
+        )
+        if subj is not None and obj is not None:
+            out.append((sent_idx, subj[1], pred, obj[1]))
+    return out
+
+
+def build_dictionary(rows: Sequence[Tuple[str, str, str, bool]]) -> Dictionary:
+    """(surface, uid, label, is_canonical) rows -> lookup dict."""
+    d: Dictionary = {}
+    for surface, uid, label, is_canonical in rows:
+        d.setdefault(surface, []).append((uid, label, bool(is_canonical)))
+    return d

@@ -107,6 +107,127 @@ def scan_sentences(
     return texts.select("url", text_col).mapInPandas(scan, schema=SCAN_SCHEMA)
 
 
+def scan_pages(
+    pages: DataFrame,
+    surfaces: List[str],
+    predicates: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Fused extract+scan: html bytes -> scan rows in ONE Arrow pass.
+
+    Halves JVM<->Python IPC vs chaining extract_stage and scan_sentences
+    (the full text never crosses the Arrow boundary twice) — the right
+    shape when the text itself isn't a required output.
+    """
+    from seq2rel_ds_spark.operators.extract import extract_text_from_html
+
+    pattern_surfaces = list(surfaces)
+    preds = dict(predicates or {})
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compile_dictionary(pattern_surfaces)
+        cue_pat = (
+            re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
+            if preds
+            else None
+        )
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("url", "sent_idx", "sent_start", "start", "end", "kind", "token")
+            }
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_from_html(bytes(html))
+                pos = 0
+                for sent_idx, sent in enumerate(_SENT_SPLIT.split(text)):
+                    sent_start = text.index(sent, pos)
+                    pos = sent_start + len(sent)
+                    for m in pat.finditer(sent):
+                        out["url"].append(url)
+                        out["sent_idx"].append(sent_idx)
+                        out["sent_start"].append(sent_start)
+                        out["start"].append(sent_start + m.start())
+                        out["end"].append(sent_start + m.end())
+                        out["kind"].append("mention")
+                        out["token"].append(m.group(0))
+                    if cue_pat is not None:
+                        for c in cue_pat.finditer(sent):
+                            out["url"].append(url)
+                            out["sent_idx"].append(sent_idx)
+                            out["sent_start"].append(sent_start)
+                            out["start"].append(sent_start + c.start())
+                            out["end"].append(sent_start + c.end())
+                            out["kind"].append("cue")
+                            out["token"].append(preds[c.group(0)])
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html").mapInPandas(scan, schema=SCAN_SCHEMA)
+
+
+RELATION_SCAN_SCHEMA = (
+    "url string, sent_idx int, subj_uid string, pred string, obj_uid string"
+)
+
+
+def fused_relation_scan(
+    pages: DataFrame,
+    dictionary_rows: List[tuple],
+    predicates: Dict[str, str],
+) -> DataFrame:
+    """The whole doc-local half of the KG pipeline in ONE Arrow pass:
+    html -> text -> sentence scan -> dictionary+coherence linking ->
+    per-cue subject/object selection -> relation rows.
+
+    Nothing here needs cross-document state, so no byte of text or mention
+    ever crosses a shuffle; the only shuffle left in the flagship plan is
+    the salted canonical aggregation downstream.  Semantics are the pure
+    functions in core.link — identical to the modular Catalyst operators,
+    pinned by tests.
+
+    ``dictionary_rows``: (surface, uid, label, is_canonical) tuples.
+    """
+    from seq2rel_ds_spark.core.link import (
+        build_dictionary,
+        link_doc_mentions,
+        select_relations,
+    )
+    from seq2rel_ds_spark.operators.extract import extract_text_from_html
+
+    dict_rows = list(dictionary_rows)
+    preds = dict(predicates)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dictionary = build_dictionary(dict_rows)
+        pat = _compile_dictionary(list(dictionary))
+        cue_pat = re.compile(
+            r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b"
+        )
+        for pdf in batches:
+            out = {k: [] for k in ("url", "sent_idx", "subj_uid", "pred", "obj_uid")}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text_from_html(bytes(html))
+                mentions, cues = [], []
+                pos = 0
+                for sent_idx, sent in enumerate(_SENT_SPLIT.split(text)):
+                    sent_start = text.index(sent, pos)
+                    pos = sent_start + len(sent)
+                    for m in pat.finditer(sent):
+                        mentions.append(
+                            (sent_idx, sent_start + m.start(), sent_start + m.end(), m.group(0))
+                        )
+                    for c in cue_pat.finditer(sent):
+                        cues.append((sent_idx, sent_start + c.start(), preds[c.group(0)]))
+                linked = link_doc_mentions(mentions, dictionary)
+                for sent_idx, subj, pred, obj in select_relations(linked, cues):
+                    out["url"].append(url)
+                    out["sent_idx"].append(sent_idx)
+                    out["subj_uid"].append(subj)
+                    out["pred"].append(pred)
+                    out["obj_uid"].append(obj)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html").mapInPandas(scan, schema=RELATION_SCAN_SCHEMA)
+
+
 def detect_mentions(texts: DataFrame, surfaces: List[str], text_col: str = "text") -> DataFrame:
     """Mention rows only (back-compat surface of the scanner)."""
     scans = scan_sentences(texts, surfaces, predicates=None, text_col=text_col)
@@ -146,6 +267,10 @@ def link_mentions(
     from pyspark.sql import Window
 
     cands = mentions.join(F.broadcast(dictionary), "surface", "inner")
+    # one exchange on url serves BOTH windows below: hash(url) satisfies the
+    # clustering needs of (url,label) and (url,start,end) alike, so Catalyst
+    # inserts no further shuffles (vs two back-to-back exchanges otherwise)
+    cands = cands.repartition("url")
     label_w = Window.partitionBy("url", "label")
     scored = cands.withColumn("label_hits", F.count("*").over(label_w))
     pick_w = Window.partitionBy("url", "start", "end").orderBy(

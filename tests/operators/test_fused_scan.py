@@ -1,0 +1,69 @@
+"""Fused doc-local scan (extract+scan+link+relations in one Arrow pass) must
+be row-identical to the modular Catalyst operators."""
+
+
+class TestFusedRelationScan:
+    def test_equals_modular_path(self, spark):
+        from seq2rel_ds_spark.operators.mention import (
+            cue_rows,
+            fused_relation_scan,
+            link_mentions,
+            mention_rows,
+            scan_pages,
+        )
+        from seq2rel_ds_spark.operators.triples import extract_relations
+        from seq2rel_ds_spark.sources import pages as pages_src
+
+        pages = pages_src.synthesize_pages(spark, 120, partitions=4).cache()
+        d = pages_src.dictionary_df(spark)
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in d.collect()
+        ]
+        fused = {
+            tuple(r)
+            for r in fused_relation_scan(pages, dict_rows, pages_src.PREDICATES).collect()
+        }
+        scans = scan_pages(
+            pages, [r[0] for r in dict_rows], pages_src.PREDICATES
+        ).cache()
+        modular = {
+            tuple(r)
+            for r in extract_relations(
+                link_mentions(mention_rows(scans), d), cue_rows(scans)
+            ).collect()
+        }
+        assert fused == modular and len(fused) > 0
+        pages.unpersist()
+        scans.unpersist()
+
+    def test_core_link_semantics(self):
+        from seq2rel_ds_spark.core.link import (
+            build_dictionary,
+            link_doc_mentions,
+            select_relations,
+        )
+
+        d = build_dictionary(
+            [
+                ("vexal", "DRUG1", "DRUG", True),
+                ("vexal", "GENE9", "GENE", True),  # ambiguous surface
+                ("cardiosis", "DIS1", "DISEASE", True),
+                ("vexanib", "DRUG1", "DRUG", False),
+            ]
+        )
+        mentions = [
+            (0, 0, 5, "vexal"),
+            (0, 20, 29, "cardiosis"),
+            (1, 40, 47, "vexanib"),  # second DRUG mention -> DRUG coherence wins
+        ]
+        linked = link_doc_mentions(mentions, d)
+        by_span = {(m[1], m[2]): m[4] for m in linked}
+        assert by_span[(0, 5)] == "DRUG1"  # DRUG label_hits=2 > GENE=1
+        rels = select_relations(linked, [(0, 10, "CAUSES")])
+        assert rels == [(0, "DRUG1", "CAUSES", "DIS1")]
+
+    def test_unknown_surface_dropped(self):
+        from seq2rel_ds_spark.core.link import build_dictionary, link_doc_mentions
+
+        d = build_dictionary([("known", "U1", "X", True)])
+        assert link_doc_mentions([(0, 0, 7, "unknown")], d) == []
