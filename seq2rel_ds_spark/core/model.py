@@ -125,6 +125,51 @@ class Document:
         return f"{text.strip()}\t{self.to_string().strip()}"
 
 
+def document_to_dict(doc: Document) -> dict:
+    """JSON-ready dict in the reference's serialized shape
+    (schemas.py:136-147: Pydantic ``.dict()`` via the custom encoder)."""
+    return {
+        "pmid": doc.doc_id,
+        "text": doc.text,
+        "entities": {
+            c.uid: {
+                "mentions": [m.surface for m in c.members],
+                "offsets": [(m.start, m.end) for m in c.members],
+                "label": c.label,
+            }
+            for c in doc.clusters
+        },
+        "relations": [list(uids) + [label] for uids, label in doc.relations],
+        "filtered_relations": (
+            None
+            if doc.filtered_relations is None
+            else [list(uids) + [label] for uids, label in doc.filtered_relations]
+        ),
+    }
+
+
+def document_from_dict(dct: dict) -> Document:
+    """Inverse of document_to_dict (schemas.py:149-155 object_hook parity).
+
+    Mention ``seq`` is reassigned by dict order — the serialized form keeps
+    first-appearance order, exactly like the reference's round trip.
+    """
+    doc = Document(doc_id=dct["pmid"], text=dct["text"])
+    seq = 0
+    for uid, ent in dct.get("entities", {}).items():
+        cluster = Cluster(uid=uid, label=ent["label"])
+        for surface, (start, end) in zip(ent["mentions"], ent["offsets"]):
+            cluster.members.append(Member(start=start, end=end, surface=surface, seq=seq))
+            seq += 1
+        doc.clusters.append(cluster)
+    for rel in dct.get("relations", []):
+        doc.relations.append((tuple(rel[:-1]), rel[-1]))
+    fr = dct.get("filtered_relations")
+    if fr is not None:
+        doc.filtered_relations = [(tuple(r[:-1]), r[-1]) for r in fr]
+    return doc
+
+
 def relation_sort_key(offs: Sequence[int], insertion_idx: int) -> Tuple[int, ...]:
     """Composite key equivalent to the reference's multi-pass stable sort.
 

@@ -157,3 +157,37 @@ class TestReferenceDifferential:
         for mine_doc, ref_ann in zip(docs, anns):
             ref_set = {(tuple(r[:-1]), r[-1]) for r in ref_ann.filtered_relations}
             assert set(mine_doc.filtered_relations) == ref_set
+
+
+class TestJsonRoundTrip:
+    def test_roundtrip_preserves_linearization(self):
+        import json as _json
+
+        from seq2rel_ds_spark.core.model import document_from_dict, document_to_dict
+
+        docs = pubtator.parse_corpus(synth.CDR_CORPUS)
+        for doc in docs:
+            blob = _json.dumps(document_to_dict(doc))
+            back = document_from_dict(_json.loads(blob))
+            assert back.linearize() == doc.linearize()
+            assert back.hinted_text() == doc.hinted_text()
+
+    def test_matches_reference_encoder(self, reference):
+        import json as _json
+
+        from seq2rel_ds_spark.core.model import document_to_dict
+
+        anns = reference.util.parse_pubtator(pubtator_content=synth.CDR_CORPUS)
+        mine = pubtator.parse_corpus(synth.CDR_CORPUS)
+        ref_blob = _json.loads(
+            _json.dumps([a.dict() for a in anns], default=None)
+        )
+        my_blob = _json.loads(_json.dumps([document_to_dict(d) for d in mine]))
+        for r, m in zip(ref_blob, my_blob):
+            assert r["pmid"] == m["pmid"] and r["text"] == m["text"]
+            assert set(r["entities"]) == set(m["entities"])
+            for uid in r["entities"]:
+                assert r["entities"][uid]["mentions"] == m["entities"][uid]["mentions"]
+                assert [list(o) for o in r["entities"][uid]["offsets"]] == [
+                    list(o) for o in m["entities"][uid]["offsets"]
+                ]
