@@ -262,3 +262,54 @@ class TestStreaming:
         got = spark.read.parquet(out)
         assert got.count() > 0
         assert got.filter(F.col("surface").isNull()).count() == 0
+
+
+class TestPipelineResumeRobustness:
+    def test_partial_write_recomputes_stage(self, spark, tmp_path):
+        """A stage dir without _SUCCESS (killed mid-write) must re-run."""
+        import json as _json
+        import os
+
+        from seq2rel_ds_spark.plans.pipeline import Pipeline
+
+        root = str(tmp_path / "pipe")
+        df = spark.range(100).withColumnRenamed("id", "v")
+
+        p1 = Pipeline(spark, root, run_fingerprint="fp1")
+        p1.stage("a", lambda _: df)
+        p1.stage("b", lambda o: o["a"].selectExpr("v * 2 as w"))
+        assert [r.skipped for r in p1.results] == [False, False]
+
+        # simulate a kill between stages: destroy stage b's success marker
+        os.remove(f"{root}/stage=b/_SUCCESS")
+
+        p2 = Pipeline(spark, root, run_fingerprint="fp1")
+        p2.stage("a", lambda _: df)
+        p2.stage("b", lambda o: o["a"].selectExpr("v * 2 as w"))
+        assert [r.skipped for r in p2.results] == [True, False]
+        got = {r["w"] for r in spark.read.parquet(f"{root}/stage=b").collect()}
+        assert got == {2 * i for i in range(100)}
+
+    def test_fingerprint_change_invalidates(self, spark, tmp_path):
+        from seq2rel_ds_spark.plans.pipeline import Pipeline
+
+        root = str(tmp_path / "pipe2")
+        df = spark.range(10)
+        p1 = Pipeline(spark, root, run_fingerprint="n=10")
+        p1.stage("a", lambda _: df)
+        p2 = Pipeline(spark, root, run_fingerprint="n=20")
+        p2.stage("a", lambda _: spark.range(20))
+        assert p2.results[0].skipped is False
+        assert spark.read.parquet(f"{root}/stage=a").count() == 20
+
+    def test_lineage_rows_written(self, spark, tmp_path):
+        from seq2rel_ds_spark.plans.pipeline import Pipeline
+
+        root = str(tmp_path / "pipe3")
+        p = Pipeline(spark, root, run_fingerprint="x")
+        p.stage("a", lambda _: spark.range(50))
+        lin = p.lineage()
+        assert lin is not None
+        rows = lin.collect()
+        assert sum(r["rows"] for r in rows) == 50
+        assert all(r["stage"] == "a" for r in rows)

@@ -1,0 +1,87 @@
+"""Physical-plan quality gates.
+
+These tests pin the plans we designed for, so a regression that silently
+adds a shuffle, loses a broadcast, or stops pushing filters into the scan
+fails CI — the properties that decide 100 TB behavior, asserted at sf0.001.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestRelationalPlans:
+    def test_q1_filter_pushdown_and_pruning(self, spark):
+        import __spark_entry__ as em
+
+        df = em.q1_pricing_summary(spark, SF)
+        plan = _plan(df)
+        # filter reaches the parquet scan
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+        # column pruning: only needed columns read
+        assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+    def test_q3_broadcasts_dimension(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q3_shipping_priority(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+    def test_q5_broadcasts_small_dims(self, spark):
+        import __spark_entry__ as em
+
+        plan = _plan(em.q5_nation_volume(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_parse_linearize_no_shuffle(self, spark):
+        from seq2rel_ds_spark.operators.linearize import linearize
+        from seq2rel_ds_spark.operators.parse import parse_documents
+        from seq2rel_ds_spark.sources.pubtator import docs_from_strings
+        from tests.fixtures import synth
+
+        docs = docs_from_strings(spark, synth.CDR_CORPUS)
+        plan = _plan(linearize(parse_documents(docs)))
+        assert "Exchange" not in plan
+
+    def test_fused_kg_single_shuffle(self, spark):
+        """The flagship plan: exactly one exchange pair (partial->final of
+        the salted aggregation) between scan and result."""
+        from seq2rel_ds_spark.operators.mention import fused_relation_scan
+        from seq2rel_ds_spark.operators.triples import canonicalize_triples
+        from seq2rel_ds_spark.sources import pages as pages_src
+
+        pages = pages_src.synthesize_pages(spark, 20, partitions=2)
+        d = pages_src.dictionary_df(spark)
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in d.collect()
+        ]
+        rel = fused_relation_scan(pages, dict_rows, pages_src.PREDICATES)
+        plan = _plan(canonicalize_triples(rel, salt_buckets=8))
+        # two-phase salted agg = exactly 2 exchanges (salted partial -> final)
+        assert plan.count("Exchange") == 2
+
+    def test_dictionary_join_broadcast_in_link(self, spark):
+        from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
+        from seq2rel_ds_spark.sources import pages as pages_src
+        from seq2rel_ds_spark.operators.extract import extract_stage
+
+        pages = pages_src.synthesize_pages(spark, 20, partitions=2)
+        d = pages_src.dictionary_df(spark)
+        m = detect_mentions(extract_stage(pages), [r["surface"] for r in d.collect()])
+        plan = _plan(link_mentions(m, d))
+        assert "BroadcastHashJoin" in plan
+        # exactly one real data exchange (the url repartition); broadcast
+        # exchanges don't move the fact table
+        non_broadcast_exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert len(non_broadcast_exchanges) == 1
