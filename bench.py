@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "token_histogram",
     "exact_dedup",
-    "minhash_lsh",
+    "doc_quality",
     "ann_topk",
     "kg_triples",
 ]
@@ -108,17 +108,19 @@ def kg_child(cores: int, pages_path: str) -> None:
         # warm-up on a 5% sample: spins Python workers / JIT / Arrow paths
         # without paying a full extra pass per level
         run_kg_fused(spark, pages.sample(0.05, seed=1), partitions=cores)
-        # best-of-2 timed runs: the sandbox VM shows CPU steal spikes; min
-        # is the standard noise-robust estimator for fixed deterministic work
+        # best-of-3 timed runs: the sandbox VM shows CPU steal spikes
+        # (especially visible to the all-cores leg); min is the standard
+        # noise-robust estimator for fixed deterministic work
         (n_triples, n_instances), sec1 = run_kg_fused(spark, pages, partitions=2 * cores)
         _, sec2 = run_kg_fused(spark, pages, partitions=2 * cores)
+        _, sec3 = run_kg_fused(spark, pages, partitions=2 * cores)
         print(
             json.dumps(
                 {
                     "cores": cores,
                     "n_triples": n_triples,
                     "n_instances": n_instances,
-                    "seconds": round(min(sec1, sec2), 3),
+                    "seconds": round(min(sec1, sec2, sec3), 3),
                 }
             )
         )

@@ -76,24 +76,59 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int = 0,
 ) -> DataFrame:
     """All document pairs (a < b) with shingle-set Jaccard >= threshold.
 
-    Candidate generation is a shingle-bucket self-join (skew-resistant: very
-    frequent shingles fan out, so production runs should pre-drop stop-
-    shingles; here the synthetic corpus is benign), intersection counts come
-    from a single groupBy, and union sizes from two broadcast-able joins.
+    Candidate generation is a shingle-bucket self-join; intersection counts
+    come from a single groupBy, union sizes from two joins.
+
+    ``max_shingle_df`` (0 = off) is the scale knob: shingles appearing in
+    more than this many documents are excluded from CANDIDATE GENERATION
+    ONLY (the classic stop-shingle cut — a shingle shared by k docs
+    contributes k^2 join rows).  Intersection/union counts still use the
+    full shingle sets, so reported Jaccard stays exact; the only recall
+    loss is pairs whose every shared shingle is a stop-shingle.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_shingle_df > 0:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle", "left_semi")
+        a, b = cand_src.alias("a"), cand_src.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh_a = sh.select(F.col("id").alias("id_a"), F.col("shingle").alias("sh_a"))
+        sh_b = sh.select(F.col("id").alias("_idb"), F.col("shingle").alias("sh_b"))
+        inter = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
