@@ -313,3 +313,46 @@ class TestPipelineResumeRobustness:
         rows = lin.collect()
         assert sum(r["rows"] for r in rows) == 50
         assert all(r["stage"] == "a" for r in rows)
+
+
+class TestStatefulStreaming:
+    def test_sessionization_with_state(self, spark, tmp_path):
+        """applyInPandasWithState sessionization over a file-source stream."""
+        import datetime as dt
+
+        from seq2rel_ds_spark.streaming.sessions import streaming_sessions
+
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        # user 1: two sessions separated by a 2h gap
+        for m in (0, 5, 10):
+            rows.append((1, base + dt.timedelta(minutes=m)))
+        for m in (130, 135):
+            rows.append((1, base + dt.timedelta(minutes=m)))
+        # user 2: one session
+        rows.append((2, base))
+        src = str(tmp_path / "events_in")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+        )
+        out = str(tmp_path / "sessions_out")
+        chk = str(tmp_path / "chk")
+        q = (
+            streaming_sessions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        # only CLOSED sessions emit (user 1's first session closed by the
+        # 2h-later event); open sessions remain in state
+        assert len(got) == 1
+        r = got[0]
+        assert r["user_id"] == 1 and r["n_events"] == 3
+        assert (r["session_end"] - r["session_start"]).total_seconds() == 600
