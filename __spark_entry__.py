@@ -137,6 +137,38 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column, aggregate the
+    numeric field per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (event_type, value-band) for metrics
+    tables; NULL grouping levels rendered as 'ALL' for engine portability."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_band", F.when(F.col("value") >= 50, "high").otherwise("low")
+    )
+    # integer-cents sum: the ALL row aggregates every event, where
+    # engine-order float summation could flip the 4th decimal
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.rollup("event_type", "value_band")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_value_cents"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("value_band", F.lit("ALL")).alias("value_band"),
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analytics (documents table)
 # ---------------------------------------------------------------------------
@@ -340,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": q5_nation_volume,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_props_json": q_events_props_json,
+        "events_rollup": q_events_rollup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -431,6 +465,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
             FROM gaps GROUP BY user_id
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                              THEN 1 END) AS n_big
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(value_band, 'ALL') AS value_band,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM (
+                SELECT event_type,
+                       CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS value_band,
+                       value
+                FROM events
+            )
+            GROUP BY ROLLUP(event_type, value_band)
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
