@@ -162,17 +162,29 @@ def _spawn_kg(cores: int, pages_path: str) -> dict:
     run would borrow idle host CPUs and fake the low-core baseline."""
     cmd = [sys.executable, os.path.abspath(__file__), "--kg-child", str(cores), pages_path]
     import shutil as _shutil
+    import signal
 
     if _shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    out = subprocess.run(
+    # hard per-child timeout with process-group kill: a steal burst must not
+    # hang the whole bench, and no orphan JVMs may survive a timeout
+    proc = subprocess.Popen(
         cmd,
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
         text=True,
-        check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    try:
+        out, _ = proc.communicate(timeout=int(os.environ.get("SPARK_GRAFT_KG_CHILD_TIMEOUT", "240")))
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        return None
+    if proc.returncode != 0:
+        return None
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -204,17 +216,34 @@ def main() -> None:
     # minimum: the sandbox VM has time-varying CPU-steal windows, and
     # alternating runs decorrelates each level from a single noisy window.
     repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
+    kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "330"))
+    kg_t0 = time.time()
     try:
         lo_runs, hi_runs = [], []
-        for _ in range(repeats):
+        for i in range(repeats):
+            if i > 0 and time.time() - kg_t0 > kg_budget:
+                break
             lo_runs.append(_spawn_kg(cores_low, pages_path))
             hi_runs.append(_spawn_kg(cpus, pages_path))
+        lo_runs = [r for r in lo_runs if r]
+        hi_runs = [r for r in hi_runs if r]
         # noise-burst retry: the all-cores leg shares every CPU with any
-        # co-tenant activity; if its runs disagree wildly, buy one more round
+        # co-tenant activity; if its runs disagree wildly, buy one more
+        # round — but only inside the wall budget
         hi_secs = [r["seconds"] for r in hi_runs]
-        if max(hi_secs) > 2 * min(hi_secs):
-            lo_runs.append(_spawn_kg(cores_low, pages_path))
-            hi_runs.append(_spawn_kg(cpus, pages_path))
+        if (
+            hi_secs
+            and max(hi_secs) > 2 * min(hi_secs)
+            and time.time() - kg_t0 < kg_budget
+        ):
+            extra_lo = _spawn_kg(cores_low, pages_path)
+            extra_hi = _spawn_kg(cpus, pages_path)
+            if extra_lo:
+                lo_runs.append(extra_lo)
+            if extra_hi:
+                hi_runs.append(extra_hi)
+        if not lo_runs or not hi_runs:
+            raise RuntimeError("all kg scaling runs timed out")
         lo = min(lo_runs, key=lambda r: r["seconds"])
         hi = min(hi_runs, key=lambda r: r["seconds"])
     finally:
