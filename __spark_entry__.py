@@ -393,6 +393,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _KG_TERMS_SQL = ", ".join(f"'{t}'" for t in KG_TERMS)
 
+# SimHash oracle: replicates operators/dedup.py simhash_col/simhash_pairs
+# bit-for-bit — per-token md5 nibbles vote on 64 bits; candidate pairs share
+# one of 4 16-bit chunks; hamming <= 3.  Generated SQL (64 vote aggregates).
+_SIMHASH_VOTES = ",\n".join(
+    "sum(CASE WHEN (strpos('0123456789abcdef', substring(h, {pos}, 1)) - 1) & {mask}"
+    " > 0 THEN 1 ELSE -1 END) AS v{i}".format(pos=i // 4 + 1, mask=1 << (i % 4), i=i)
+    for i in range(64)
+)
+_SIMHASH_CONCAT = " || ".join(
+    f"(CASE WHEN v{i} > 0 THEN '1' ELSE '0' END)" for i in range(64)
+)
+_SIMHASH_CHUNKS = ", ".join(str(ci) for ci in range(4))
+
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (SELECT id, md5(t) AS h FROM toks),
+    votes AS (
+      SELECT id, {_SIMHASH_VOTES}
+      FROM hashed GROUP BY id
+    ),
+    sh AS (SELECT id, {_SIMHASH_CONCAT} AS sh FROM votes),
+    chunked AS (
+      SELECT id, sh, ci AS chunk_idx, substring(sh, ci * 16 + 1, 16) AS chunk
+      FROM sh, unnest([{_SIMHASH_CHUNKS}]) AS u(ci)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM chunked a JOIN chunked b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(range(1, 65),
+               i -> substring(sh_a, CAST(i AS INT), 1) != substring(sh_b, CAST(i AS INT), 1))) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65),
+          i -> substring(sh_a, CAST(i AS INT), 1) != substring(sh_b, CAST(i AS INT), 1))) <= 3
+"""
+
 _KG_MENTIONS_SQL = f"""
     SELECT doc_id, term, count(*) AS n_mentions
     FROM (
@@ -676,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
             WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
         """,
+        "simhash_pairs": _SIMHASH_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""
