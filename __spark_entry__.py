@@ -726,7 +726,4 @@ def oracle_sql() -> dict[str, str]:
                    subj AS subj_key, obj AS obj_key, n_docs AS n_support
             FROM ({_KG_COOCCURRENCE_SQL})
         """,
-        # ngram_jaccard / minhash_lsh / simhash_pairs / doc_lang_guess are
-        # registered below once their SQL twins are validated; until then the
-        # driver records rows-only checks for them.
     }
