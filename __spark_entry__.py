@@ -505,12 +505,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             )
-            SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM gaps GROUP BY user_id
         """,
         "events_props_json": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                               THEN 1 END) AS n_big
             FROM events
@@ -520,7 +521,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(value_band, 'ALL') AS value_band,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM (
                 SELECT event_type,
                        CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS value_band,
