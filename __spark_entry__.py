@@ -313,6 +313,129 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PubTator parse -> linearize corpus path (reference util.py:114-229,
+# schemas.py:26-133) — externally audited via a corpus both engines derive
+# deterministically from the documents table
+# ---------------------------------------------------------------------------
+
+
+def _pubtator_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PubTator-shaped corpus derived from the documents table.
+
+    title = 'd<doc_id>'; abstract = the document text; one mention annotation
+    line per KG_TERMS token occurrence with document-level char offsets
+    (uid = the term itself, label TERM); one relation line per lexicographic
+    distinct term pair (label COOCC).  The DuckDB oracles re-derive the same
+    corpus independently in SQL, so the real parse->linearize operator stack
+    is audited end-to-end, not just its glue.
+
+    The O(n_tokens^2) prefix-join offset walk is test-harness corpus
+    synthesis only (docs here are ~50 tokens); production inputs arrive as
+    pre-annotated lines via the sources/ readers.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    doc_id_s = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("d"), doc_id_s)
+    wtext = F.concat(title, F.lit(" "), F.col("text"))
+    toks = F.split(wtext, " ")
+    ments = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                F.when(i == F.lit(0), F.lit(0))
+                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
+                .alias("start"),
+                t.alias("tok"),
+            ),
+        ),
+        lambda s: F.array_contains(terms, s["tok"]),
+    )
+    mention_lines = F.transform(
+        ments,
+        lambda s: F.concat_ws(
+            "\t",
+            doc_id_s,
+            s["start"].cast("string"),
+            (s["start"] + F.length(s["tok"])).cast("string"),
+            s["tok"],
+            F.lit("TERM"),
+            s["tok"],
+        ),
+    )
+    uniq = F.array_sort(F.array_distinct(F.transform(ments, lambda s: s["tok"])))
+    rel_lines = F.flatten(
+        F.transform(
+            uniq,
+            lambda a, i: F.transform(
+                F.slice(uniq, i + 2, F.greatest(F.size(uniq) - i - 1, F.lit(0))),
+                lambda b: F.concat_ws("\t", doc_id_s, F.lit("COOCC"), a, b),
+            ),
+        )
+    )
+    return docs.select(
+        doc_id_s.alias("doc_id"),
+        title.alias("title"),
+        F.col("text").alias("abstract"),
+        F.concat(mention_lines, rel_lines).alias("ann_lines"),
+    )
+
+
+def _parsed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.parse import parse_documents
+
+    return parse_documents(_pubtator_corpus(spark, sf_dir))
+
+
+def q_pubtator_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded mention table from the real parse operator (parse.py:262)."""
+    from seq2rel_ds_spark.operators.parse import mentions_table
+
+    return mentions_table(_parsed_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "uid",
+        "label",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "seq",
+    )
+
+
+def q_pubtator_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded relation table from the real parse operator (parse.py:287)."""
+    from seq2rel_ds_spark.operators.parse import relations_table
+
+    return relations_table(_parsed_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel_idx").cast("long").alias("rel_idx"),
+        F.array_join("uids", ",").alias("uids"),
+        "label",
+    )
+
+
+def q_linearized_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 of the full seq2rel linearized line per document (linearize.py:190;
+    reference schemas.py:82-133 relation ordering, util.py:278-280 sink row)."""
+    from seq2rel_ds_spark.operators.linearize import linearize
+
+    return linearize(_parsed_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("line").alias("line_md5"),
+    )
+
+
+def q_linearized_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same, with entity hints prepended (schemas.py:62-80 insert_hints)."""
+    from seq2rel_ds_spark.operators.linearize import linearize
+
+    return linearize(_parsed_corpus(spark, sf_dir), hints=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("line").alias("line_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KG construction over the documents table (SQL-checkable path)
 # ---------------------------------------------------------------------------
 
@@ -385,6 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "pubtator_mentions": q_pubtator_mentions,
+        "pubtator_relations": q_pubtator_relations,
+        "linearized_lines": q_linearized_lines,
+        "linearized_hints": q_linearized_hints,
         "kg_mentions": q_kg_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triples": q_kg_triples,
@@ -392,6 +519,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _KG_TERMS_SQL = ", ".join(f"'{t}'" for t in KG_TERMS)
+
+# Shared CTEs re-deriving the _pubtator_corpus working text, token offsets
+# and term hits in DuckDB (closed form of what parse_documents consumes).
+_CORPUS_CTES = f"""
+    w AS (
+      SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) || ' ' || text AS wtext
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, i, toks[i] AS tok,
+             CASE WHEN i = 1 THEN 0
+                  ELSE len(array_to_string(toks[1:i-1], ' ')) + 1 END AS start
+      FROM (SELECT doc_id, string_split(wtext, ' ') AS toks FROM w),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    hit AS (
+      SELECT doc_id, tok, start, start + len(tok) AS fin
+      FROM tk WHERE list_contains([{_KG_TERMS_SQL}], tok)
+    )
+"""
+
+# Cluster info (first-appearance weight/order, linearized string) and
+# relation strings with the reference's composite sort key [w_0, sum_w, i]
+# (schemas.py:82-133; equivalence proof in core/model.py).
+_LINEARIZE_CTES = f"""
+    {_CORPUS_CTES},
+    cl AS (
+      SELECT doc_id, tok,
+             2 * min(start) + len(tok) AS wgt,
+             min(fin) AS first_end, min(start) AS first_start
+      FROM hit GROUP BY doc_id, tok
+    ),
+    cli AS (
+      SELECT doc_id, tok, wgt,
+             tok || ' @TERM@' AS cstr,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY first_end, first_start) - 1 AS idx
+      FROM cl
+    ),
+    rel AS (
+      SELECT a.doc_id AS doc_id,
+             a.cstr || ' ' || b.cstr || ' @COOCC@' AS rstr,
+             a.wgt AS wa, a.wgt + b.wgt AS wsum,
+             row_number() OVER (PARTITION BY a.doc_id
+                                ORDER BY a.tok, b.tok) AS i
+      FROM cli a JOIN cli b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    ),
+    rs AS (
+      SELECT doc_id, string_agg(rstr, ' ' ORDER BY wa, wsum, i) AS rel_string
+      FROM rel GROUP BY doc_id
+    )
+"""
+
+_PUBTATOR_MENTIONS_SQL = f"""
+    WITH {_CORPUS_CTES}
+    SELECT doc_id, tok AS uid, 'TERM' AS label, CAST(start AS BIGINT) AS start,
+           CAST(fin AS BIGINT) AS "end", tok AS surface,
+           row_number() OVER (PARTITION BY doc_id ORDER BY fin, start) - 1 AS seq
+    FROM hit
+"""
+
+_PUBTATOR_RELATIONS_SQL = f"""
+    WITH {_CORPUS_CTES},
+    u AS (SELECT DISTINCT doc_id, tok FROM hit)
+    SELECT a.doc_id AS doc_id,
+           row_number() OVER (PARTITION BY a.doc_id
+                              ORDER BY a.tok, b.tok) - 1 AS rel_idx,
+           a.tok || ',' || b.tok AS uids,
+           'COOCC' AS label
+    FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+"""
+
+_LINEARIZED_LINES_SQL = f"""
+    WITH {_LINEARIZE_CTES}
+    SELECT w.doc_id AS doc_id,
+           md5(trim(w.wtext) || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM w LEFT JOIN rs ON w.doc_id = rs.doc_id
+"""
+
+_LINEARIZED_HINTS_SQL = f"""
+    WITH {_LINEARIZE_CTES},
+    hs AS (
+      SELECT doc_id, string_agg(cstr, ' ' ORDER BY wgt, idx) AS hint
+      FROM cli GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc_id,
+           md5(CASE WHEN hs.hint IS NULL
+                    THEN '[SEP] ' || trim(w.wtext)
+                    ELSE trim(hs.hint) || ' [SEP] ' || trim(w.wtext) END
+               || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM w
+    LEFT JOIN rs ON w.doc_id = rs.doc_id
+    LEFT JOIN hs ON w.doc_id = hs.doc_id
+"""
 
 # SimHash oracle: replicates operators/dedup.py simhash_col/simhash_pairs
 # bit-for-bit — per-token md5 nibbles vote on 64 bits; candidate pairs share
@@ -720,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
         """,
         "simhash_pairs": _SIMHASH_SQL,
+        "pubtator_mentions": _PUBTATOR_MENTIONS_SQL,
+        "pubtator_relations": _PUBTATOR_RELATIONS_SQL,
+        "linearized_lines": _LINEARIZED_LINES_SQL,
+        "linearized_hints": _LINEARIZED_HINTS_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""
