@@ -197,6 +197,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fp_md5")
 
 
+def q_doc_fp_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """53-bit Karp-Rabin rolling fingerprint (JVM-side aggregate fold)."""
+    from seq2rel_ds_spark.operators.textstats import with_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fp_roll")
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch connected components (coref-merge shape, cluster.py:36) over a
+    deterministic edge fixture: chain edges between consecutive doc_ids that
+    share an exact-dedup token-set key.  CC must propagate the min id along
+    each multi-hop chain; the oracle computes components directly from the
+    group structure."""
+    from pyspark.sql import Window
+
+    from seq2rel_ds_spark.operators.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    d = docs.select(key.alias("k"), "doc_id")
+    w = Window.partitionBy("k").orderBy("doc_id")
+    edges = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "doc_id")
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.textstats import token_histogram
 
@@ -253,25 +288,56 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH candidate generation + exact in-bucket verify — the
+    scale path (equi-join on (band, bucket), never a cartesian).  The oracle
+    replicates the integer hyperplane projections bit-for-bit."""
+    from seq2rel_ds_spark.operators.dedup import embedding_neardup_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
-    e = emb.select(F.col("vec_id").alias("id"), q.alias("v"))
+    return embedding_neardup_pairs(
+        emb, dim=64, threshold=0.45, bands=8, planes_per_band=3
+    )
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine top-5 for query vectors vec_id < 10: the
+    bucket equi-join replaces ann_topk's (bounded) cross join — the
+    general-k-NN shape at 10^9 vectors.  Integer-quantized scoring."""
+    from pyspark.sql import Window
+
+    from seq2rel_ds_spark.operators.similarity import quantize_vec, sign_lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = quantize_vec(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a_, x: a_ + x * x).cast(
+            "double"
+        )
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"), v.alias("v"), sign_lsh_bucket(v, 64, planes=4).alias("bucket")
+    ).withColumn("nrm", nrm)
+    queries = e.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    nrm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.v"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).cast("double")
+    scored = (
+        e.join(F.broadcast(queries), "bucket")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot.cast("double") / (F.col("nrm") * F.col("qn")), 6))
     )
-    a, b = e.alias("a"), e.alias("b")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", F.round(dot.cast("double") / (nrm("a") * nrm("b")), 6))
-        .filter(F.col("cosine") >= 0.45)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
 
 
@@ -310,6 +376,36 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal feature extraction (Arrow-batched mapInPandas over binary blobs;
+# deterministic-fake decode — codec libs absent — but the plumbing, schema
+# and feature math are real and oracle-checked)
+# ---------------------------------------------------------------------------
+
+N_MEDIA = 64
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.multimodal import image_features, synthesize_media
+
+    media = synthesize_media(spark, N_MEDIA, kind="image")
+    return image_features(media, deterministic_fake=True)
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.multimodal import audio_features, synthesize_media
+
+    media = synthesize_media(spark, N_MEDIA, kind="audio")
+    return audio_features(media, deterministic_fake=True)
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from seq2rel_ds_spark.operators.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, N_MEDIA, kind="video")
+    return sample_frames(media, every_nth=2, max_frames=4, deterministic_fake=True)
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_fp_roll": q_doc_fp_roll,
+        "cc_components": q_cc_components,
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "media_frame_sample": q_media_frame_sample,
         "token_histogram": q_token_histogram,
         "doc_lang_guess": q_doc_lang_guess,
         "exact_dedup": q_exact_dedup,
@@ -508,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
         "pubtator_mentions": q_pubtator_mentions,
         "pubtator_relations": q_pubtator_relations,
         "linearized_lines": q_linearized_lines,
@@ -674,8 +776,201 @@ _KG_COOCCURRENCE_SQL = f"""
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _hexbyte_sql(h: str, j) -> str:
+    """DuckDB expression for byte j (0-based) of the hex string ``h``
+    (j may be an int literal or a lambda-variable name)."""
+    return (
+        f"((strpos('0123456789abcdef', substring({h}, CAST(2*{j}+1 AS INT), 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({h}, CAST(2*{j}+2 AS INT), 1)) - 1))"
+    )
+
+
+def _media_sqls() -> dict[str, str]:
+    """DuckDB replicas of operators/multimodal.py's deterministic-fake
+    decode + feature math (synthesize_media blob = sha256('<kind>:<i>')*4;
+    features from md5/sha256-derived pseudo-pixels/samples)."""
+    n = N_MEDIA
+    # bh = blob.hex(): the synthesized blob is sha256('<kind>:<i>').digest()*4,
+    # so its hex string is the sha256 hexdigest repeated 4x
+    image = f"""
+        WITH b AS (
+          SELECT 'image-' || i AS media_id, repeat(sha256('image:' || i), 4) AS bh
+          FROM range(0, {n}) t(i)
+        ),
+        hx AS (
+          SELECT media_id, md5(bh) AS mh,
+                 sha256(bh) || sha256('p' || bh) AS ph
+          FROM b
+        ),
+        px AS (
+          SELECT media_id, mh,
+                 list_transform(range(0, 64), j -> {_hexbyte_sql('ph', 'j')}) AS pix
+          FROM hx
+        )
+        SELECT media_id,
+               CAST(16 + ({_hexbyte_sql('mh', 0)} % 48) AS INT) AS width,
+               CAST(16 + ({_hexbyte_sql('mh', 1)} % 48) AS INT) AS height,
+               3 AS channels,
+               round(list_sum(pix) / 64.0 / 255.0, 6) AS mean_luma,
+               array_to_string(list_transform(range(0, 16), nb ->
+                 substring('0123456789abcdef',
+                   CAST(8 * (CASE WHEN pix[CAST(4*nb+1 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN pix[CAST(4*nb+2 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN pix[CAST(4*nb+3 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN pix[CAST(4*nb+4 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 1 AS INT), 1)), '') AS phash
+        FROM px
+    """
+    audio = f"""
+        WITH b AS (
+          SELECT 'audio-' || i AS media_id, repeat(sha256('audio:' || i), 4) AS bh
+          FROM range(0, {n}) t(i)
+        ),
+        hx AS (
+          SELECT media_id, md5(bh) AS mh,
+                 sha256('a' || bh) AS ah
+          FROM b
+        ),
+        sm AS (
+          SELECT media_id, mh,
+                 list_transform(range(0, 32), j -> ({_hexbyte_sql('ah', 'j')} - 128) / 128.0) AS s
+          FROM hx
+        )
+        SELECT media_id,
+               CAST((8 + ({_hexbyte_sql('mh', 2)} % 8)) * 1000 AS INT) AS sample_rate,
+               CAST(32 AS BIGINT) AS n_samples,
+               round(sqrt(list_sum(list_transform(s, x -> x * x)) / 32.0), 6) AS rms,
+               md5(array_to_string(list_transform(s,
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')) AS afp
+        FROM sm
+    """
+    frames = f"""
+        WITH b AS (
+          SELECT 'video-' || i AS media_id, repeat(sha256('video:' || i), 4) AS bh
+          FROM range(0, {n}) t(i)
+        )
+        SELECT media_id, CAST(k AS INT) AS frame_idx,
+               substring(md5(bh || ':' || k), 1, 16) AS frame_phash
+        FROM b, unnest([0, 2, 4, 6]) AS u(k)
+    """
     return {
+        "media_image_features": image,
+        "media_audio_features": audio,
+        "media_frame_sample": frames,
+    }
+
+
+_FP_ROLL_SQL = r"""
+    SELECT doc_id,
+           list_reduce(
+             [CAST(0 AS BIGINT)] ||
+             list_transform(range(1, len(norm) + 1),
+                            i -> CAST(ord(substring(norm, CAST(i AS INT), 1)) AS BIGINT)),
+             (acc, c) -> (acc * 131 + c) % 9007199254740881
+           ) AS fp_roll
+    FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+          FROM documents)
+"""
+
+_CC_COMPONENTS_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS k
+      FROM documents
+    ),
+    m AS (SELECT k, min(doc_id) AS comp, count(*) AS n FROM g GROUP BY k)
+    SELECT g.doc_id AS node, m.comp AS component
+    FROM g JOIN m ON g.k = m.k
+    WHERE m.n > 1
+"""
+
+
+def _lsh_bucket_sql(vexpr: str, dim: int, planes: int, first_plane: int = 0) -> str:
+    """DuckDB expression for similarity.sign_lsh_bucket: the concatenated
+    signs of exact integer projections on the deterministic md5 hyperplanes
+    (same int_hyperplane family as the Spark side — constants are part of
+    the operator spec; the projection/bucket/verify logic is re-derived)."""
+    from seq2rel_ds_spark.operators.similarity import int_hyperplane
+
+    bits = []
+    for p in range(first_plane, first_plane + planes):
+        lits = "[" + ", ".join(str(x) for x in int_hyperplane(p, dim)) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {vexpr}[i] * ({lits})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _embedding_lsh_sqls() -> dict[str, str]:
+    dim, bands, ppb = 64, 8, 3
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, {_lsh_bucket_sql('v', dim, ppb, b * ppb)} AS bucket FROM e"
+        for b in range(bands)
+    )
+    cos = (
+        f"round(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> a.v[i] * b.v[i])) AS DOUBLE) / (a.nrm * b.nrm), 6)"
+    )
+    neardup = f"""
+        WITH e AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT id, v,
+                   sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm
+            FROM e
+        ),
+        bands AS (
+        {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+        )
+        SELECT id_a, id_b, {cos} AS cosine
+        FROM cand JOIN n a ON a.id = cand.id_a JOIN n b ON b.id = cand.id_b
+        WHERE {cos} >= 0.45
+    """
+    qcos = (
+        f"round(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> c.v[i] * q.v[i])) AS DOUBLE) / (c.nrm * q.nrm), 6)"
+    )
+    topk = f"""
+        WITH e AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT id, v, {_lsh_bucket_sql('v', dim, 4)} AS bucket,
+                   sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm
+            FROM e
+        ),
+        scored AS (
+            SELECT q.id AS query_id, c.id AS neighbor_id, {qcos} AS cosine
+            FROM n c JOIN n q ON c.bucket = q.bucket AND q.id < 10 AND c.id != q.id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+    return {"embedding_neardup": neardup, "lsh_topk": topk}
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _embedding_lsh_sqls()
+    out.update(_media_sqls())
+    out.update({
+        "doc_fp_roll": _FP_ROLL_SQL,
+        "cc_components": _CC_COMPONENTS_SQL,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -807,24 +1102,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY set_hash
             HAVING count(*) > 1
         """,
-        "embedding_neardup": """
-            WITH e AS (
-                SELECT vec_id AS id,
-                       list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
-                FROM embeddings
-            ),
-            n AS (
-                SELECT id, v,
-                       sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)) AS nrm
-                FROM e
-            )
-            SELECT a.id AS id_a, b.id AS id_b,
-                   round(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                           i -> a.v[i] * b.v[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) AS cosine
-            FROM n a JOIN n b ON a.id < b.id
-            WHERE round(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                    i -> a.v[i] * b.v[i])) AS DOUBLE) / (a.nrm * b.nrm), 6) >= 0.45
-        """,
         "ann_topk": """
             WITH e AS (
                 SELECT vec_id AS id,
@@ -952,4 +1229,5 @@ def oracle_sql() -> dict[str, str]:
                    subj AS subj_key, obj AS obj_key, n_docs AS n_support
             FROM ({_KG_COOCCURRENCE_SQL})
         """,
-    }
+    })
+    return out

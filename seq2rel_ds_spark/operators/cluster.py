@@ -45,6 +45,18 @@ def connected_components(
     # state: parent pointers as (node -> min known neighbor)
     e = _canonical_edges(edges).localCheckpoint(eager=True)
 
+    # order-free edge-set checksum (one aggregate job, no extra shuffle); the
+    # hash sum runs in decimal(38,0) — summing raw int64 hashes overflows
+    # long under ANSI mode.
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(e)
+    converged = False
     for it in range(max_iter):
         # large-star + small-star in one combined round: for every node,
         # point all neighbors (and itself) at the minimum of the closed
@@ -66,20 +78,23 @@ def connected_components(
         )
         if it % checkpoint_every == 0:
             new_e = new_e.localCheckpoint(eager=True)
-        # convergence: order-free edge-set checksum (one job, no extra
-        # shuffle); the hash sum runs in decimal(38,0) — summing raw int64
-        # hashes overflows long under ANSI mode.
-        def _sig(df: DataFrame):
-            row = df.agg(
-                F.count("*").alias("n"),
-                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-            ).first()
-            return (row["n"], row["h"])
-
-        if _sig(new_e) == _sig(e):
-            e = new_e
-            break
+        # convergence check reuses the cached previous signature — exactly
+        # one aggregate job per iteration
+        sig = _sig(new_e)
         e = new_e
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+
+    if not converged:
+        # an arbitrary parent pick here would silently mis-cluster; star
+        # contraction converges in O(log^2 n) rounds, so hitting the cap
+        # means the cap is too low for the graph — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "raise max_iter (rounds grow ~log^2 of the largest component)"
+        )
 
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     # ensure roots map to themselves

@@ -52,12 +52,16 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
             "image codecs unavailable in this environment; pass "
             "deterministic_fake=True or install PIL/cv2 and implement here"
         )
-    h = hashlib.md5(blob).digest()
+    # the fake derives from the blob's hex string (not raw bytes) so an
+    # external SQL oracle whose hash functions are VARCHAR-only can
+    # replicate it bit-for-bit
+    key = blob.hex().encode()
+    h = hashlib.md5(key).digest()
     width = 16 + h[0] % 48
     height = 16 + h[1] % 48
     channels = 3
     # 64 stable pseudo-pixel bytes stretched over the claimed dimensions
-    pix = hashlib.sha256(blob).digest() + hashlib.sha256(b"p" + blob).digest()
+    pix = hashlib.sha256(key).digest() + hashlib.sha256(b"p" + key).digest()
     return width, height, channels, pix
 
 
@@ -68,9 +72,10 @@ def _decode_audio(blob: bytes, deterministic_fake: bool):
             "audio codecs unavailable in this environment; pass "
             "deterministic_fake=True or install soundfile/ffmpeg and implement"
         )
-    h = hashlib.md5(blob).digest()
+    key = blob.hex().encode()
+    h = hashlib.md5(key).digest()
     rate = (8 + h[2] % 8) * 1000
-    samples = [((b - 128) / 128.0) for b in hashlib.sha256(b"a" + blob).digest()]
+    samples = [((b - 128) / 128.0) for b in hashlib.sha256(b"a" + key).digest()]
     return rate, samples
 
 
@@ -138,11 +143,12 @@ def sample_frames(
                 if not deterministic_fake:
                     raise NotImplementedError("video codecs unavailable; see module doc")
                 n = max_frames
+                key = blob.hex()
                 for k in range(0, n * every_nth, every_nth):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(k)
                     out["frame_phash"].append(
-                        hashlib.md5(blob + k.to_bytes(4, "big")).hexdigest()[:16]
+                        hashlib.md5(f"{key}:{k}".encode()).hexdigest()[:16]
                     )
             yield pd.DataFrame(out)
 

@@ -14,8 +14,6 @@ id asc) tie-breaks so outputs are engine-portable.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,28 +61,69 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane_idx: int, dim: int) -> list:
-    """Deterministic pseudo-random unit hyperplane from md5 — no RNG state,
-    reproducible across engines and runs."""
+def int_hyperplane(plane_idx: int, dim: int) -> list:
+    """Deterministic pseudo-random INTEGER hyperplane from md5 — no RNG
+    state, reproducible across engines and runs.
+
+    Components are 8-hex-digit md5 prefixes shifted to [-2^31, 2^31).  The
+    sign of a dot product is invariant under positive scaling, so integer
+    (unnormalized) planes give the same buckets as unit planes — but the dot
+    products are exact int64 arithmetic, so sign decisions are bit-identical
+    across Spark, DuckDB, and NumPy (no float summation-order hazards).
+    With |v_i| <= ~10^3 (quantized vectors) and dim <= 4096 the accumulator
+    stays below 2^53, far from ANSI-mode overflow.
+    """
     import hashlib
 
-    vals = []
-    for d in range(dim):
-        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
-        # map 12 hex chars to [-1, 1)
-        vals.append(int(h[:12], 16) / float(1 << 47) - 1.0)
-    n = math.sqrt(sum(v * v for v in vals)) or 1.0
-    return [v / n for v in vals]
+    return [
+        int(hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()[:8], 16)
+        - (1 << 31)
+        for d in range(dim)
+    ]
 
 
-def sign_lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Bit-string bucket id: sign of the projection on each hyperplane."""
-    v = _as_double(vec)
+def quantize_vec(vec: Column, scale: int = 1000) -> Column:
+    """Integer-quantized copy of a float vector: round(x*scale) as long.
+    Dot products / norms over quantized vectors are exact integers, making
+    cosine scores engine-portable after one final double division."""
+    return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+
+
+def sign_lsh_bucket(vec_int: Column, dim: int, planes: int = 8, first_plane: int = 0) -> Column:
+    """Bit-string bucket id over an integer-quantized vector: the sign of the
+    exact integer projection on each deterministic hyperplane."""
     bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
-        bits.append(F.when(_dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    for p in range(first_plane, first_plane + planes):
+        plane = F.array(*[F.lit(x).cast("long") for x in int_hyperplane(p, dim)])
+        bits.append(F.when(_int_dot(vec_int, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def sign_lsh_bands(
+    vec_int: Column, dim: int, bands: int = 8, planes_per_band: int = 3
+) -> Column:
+    """OR-amplified sign-LSH: array<struct<band,bucket>> — a pair is a
+    candidate if it collides in ANY band.  For near-duplicates at cosine
+    >= t (angle theta), a band matches with (1-theta/pi)^planes and the
+    miss probability decays as (1-p_band)^bands, so recall is tunable
+    without ever forming the O(n^2) pair space."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sign_lsh_bucket(
+                    vec_int, dim, planes_per_band, first_plane=b * planes_per_band
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def lsh_topk(
@@ -98,9 +137,11 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing the query's LSH
     bucket.  Equi-join on bucket replaces the cross join — at 10^9 vectors
-    with b planes the candidate set shrinks ~2^-b per bucket.
+    with b planes the candidate set shrinks ~2^-b per bucket.  Buckets come
+    from exact integer projections of the quantized vector (deterministic
+    across engines); scoring stays full-precision double on the raw vector.
     """
-    bucket = sign_lsh_bucket(F.col(vec_col), dim, planes)
+    bucket = sign_lsh_bucket(quantize_vec(F.col(vec_col)), dim, planes)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),

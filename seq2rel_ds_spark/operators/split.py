@@ -44,8 +44,11 @@ def hash_split(
     names = ["train", "valid", "test"][: len(weights)]
     out = {}
     lo = 0
-    for name, w in zip(names, weights):
-        hi = lo + int(round(w * buckets))
+    for i, (name, w) in enumerate(zip(names, weights)):
+        # the final split takes every remaining bucket: rounded widths may
+        # not sum to `buckets` (e.g. thirds -> 333+333+333), and truncating
+        # would silently drop the trailing buckets from every split
+        hi = buckets if i == len(weights) - 1 else lo + int(round(w * buckets))
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
         lo = hi
     return out

@@ -75,8 +75,12 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     den = 100000 * n
     # half-up rounding to 4dp in pure integer math (floor((20000*num+den)
     # / (2*den))): engines disagree on rounding exact decimal halves of
-    # binary doubles, integer arithmetic never does.
-    score4 = F.floor((num * 20000 + den) / (2 * den))
+    # binary doubles, integer arithmetic never does.  The floor-division runs
+    # in decimal(38,0) — `/` on longs is IEEE double division, which loses
+    # exactness once 20000*num exceeds 2^53 (multi-million-token docs).
+    x = num.cast("decimal(38,0)") * 20000 + den.cast("decimal(38,0)")
+    y = den.cast("decimal(38,0)") * 2
+    score4 = ((x - F.pmod(x, y)) / y).cast("long")
     return docs.withColumn("quality_score", score4 / 10000.0)
 
 

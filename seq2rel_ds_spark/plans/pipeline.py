@@ -71,16 +71,22 @@ class Pipeline:
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         # per-partition lineage: (stage, partition, rows) — computed from the
-        # materialized files so it reflects what was actually committed.
-        lineage = (
+        # materialized files so it reflects what was actually committed.  The
+        # total row count is folded out of the same aggregate (one data scan;
+        # the lineage rows themselves are tiny — one per partition — so they
+        # are collected and re-written without touching the data again).
+        lineage_rows = (
             out.withColumn("_p", F.spark_partition_id())
             .groupBy("_p")
             .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(name))
-            .select("stage", F.col("_p").alias("partition"), "rows")
+            .collect()
+        )
+        rows = sum(r["rows"] for r in lineage_rows)
+        lineage = self.spark.createDataFrame(
+            [(name, r["_p"], r["rows"]) for r in lineage_rows],
+            "stage string, partition int, rows long",
         )
         lineage.write.mode("append").parquet(str(self.root / "_lineage"))
-        rows = out.count()
         parts = out.rdd.getNumPartitions()
         seconds = time.time() - t0
         self._manifest_path(name).write_text(

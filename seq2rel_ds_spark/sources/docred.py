@@ -91,9 +91,18 @@ def docred_documents(
         label_map = F.create_map(
             *[x for k, v in sorted(rel_labels.items()) for x in (F.lit(k), F.lit(v))]
         )
-        rel_label = lambda r: verbose_label_expr(  # noqa: E731
-            F.coalesce(F.element_at(label_map, r["r"]), r["r"])
-        )
+
+        def rel_label(r):
+            # parity with the reference (docred.py:62): an id missing from
+            # types.json raises instead of silently emitting raw ids
+            mapped = F.element_at(label_map, r["r"])
+            return verbose_label_expr(
+                F.when(mapped.isNotNull(), mapped).otherwise(
+                    F.raise_error(
+                        F.concat(F.lit("unmapped DocRED relation id: "), r["r"])
+                    )
+                )
+            )
     else:
         rel_label = lambda r: r["r"]  # noqa: E731
 

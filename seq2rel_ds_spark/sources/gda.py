@@ -30,7 +30,11 @@ def _abstract_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.select(
         F.trim(F.get(lines, 0)).alias("pmid"),
         normalize_ws_col(F.coalesce(F.get(lines, 1), F.lit(""))).alias("title"),
-        normalize_ws_col(F.coalesce(F.get(lines, 2), F.lit(""))).alias("abstract"),
+        # the reference's exact-3-line contract (gda.py:46): malformed >3-line
+        # blocks get abstract='' rather than silently adopting line 3
+        F.when(F.size(lines) == 3, normalize_ws_col(F.get(lines, 2)))
+        .otherwise(F.lit(""))
+        .alias("abstract"),
     )
 
 

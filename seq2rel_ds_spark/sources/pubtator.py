@@ -40,7 +40,9 @@ def docs_from_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.select(
         F.get(F.split(title_line, r"\|t\|", 2), 0).alias("doc_id"),
         F.trim(F.get(F.split(title_line, r"\|t\|", 2), 1)).alias("title"),
-        F.trim(F.element_at(F.split(abstract_line, r"\|a\|", 2), -1)).alias("abstract"),
+        # unlimited split + last element == the reference's split('|a|')[-1]
+        # (an abstract containing a literal '|a|' keeps only the last segment)
+        F.trim(F.element_at(F.split(abstract_line, r"\|a\|", -1), -1)).alias("abstract"),
         F.filter(
             F.slice(lines, 3, F.greatest(F.size(lines) - 2, F.lit(0))),
             lambda ln: F.trim(ln) != "",

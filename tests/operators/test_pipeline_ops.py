@@ -84,6 +84,41 @@ class TestSimilarity:
         out = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
         assert [r["corpus_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
 
+    def test_embedding_neardup_lsh_recall(self, spark):
+        """Banded sign-LSH candidates verify to a subset of the exact
+        all-pairs result, and every planted high-cosine near-dup is found
+        (miss probability ~1e-8 at the 8x2 banding used here)."""
+        import math
+
+        from seq2rel_ds_spark.operators.dedup import embedding_neardup_pairs
+
+        rows = []
+        for i in range(24):
+            base = [math.cos(i * 0.7 + d) for d in range(8)]
+            rows.append((2 * i, base))
+            # planted near-duplicate: tiny perturbation of one coordinate
+            pert = list(base)
+            pert[i % 8] += 0.01
+            rows.append((2 * i + 1, pert))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(
+                df, dim=8, threshold=0.98, all_pairs=True
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(
+                df, dim=8, threshold=0.98, bands=8, planes_per_band=2
+            ).collect()
+        }
+        assert set(lsh) <= set(exact)
+        for i in range(24):
+            assert (2 * i, 2 * i + 1) in lsh
+        for k, v in lsh.items():
+            assert exact[k] == v
+
     def test_lsh_topk_subset_of_exact(self, spark):
         from seq2rel_ds_spark.operators.similarity import brute_force_topk, lsh_topk
 

@@ -69,6 +69,18 @@ class TestRelationalPlans:
         # two-phase salted agg = exactly 2 exchanges (salted partial -> final)
         assert plan.count("Exchange") == 2
 
+    def test_embedding_neardup_no_cartesian(self, spark):
+        """The LSH-bucketed near-dup and top-k plans must never fall back to
+        an all-pairs join: candidate generation is an equi-join on
+        (band, bucket) / bucket, so no BroadcastNestedLoopJoin or
+        CartesianProduct may appear (the round-1 scale-killer)."""
+        import __spark_entry__ as em
+
+        for q in (em.q_embedding_neardup, em.q_lsh_topk):
+            plan = _plan(q(spark, SF))
+            assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+            assert "CartesianProduct" not in plan, q.__name__
+
     def test_dictionary_join_broadcast_in_link(self, spark):
         from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
         from seq2rel_ds_spark.sources import pages as pages_src
