@@ -44,6 +44,7 @@ def cmd_cdr(args: argparse.Namespace) -> dict:
         read_mesh_tree(spark, args.mesh),
         hints=args.hints,
         combine_train_valid=args.combine_train_valid,
+        sort_rels=not args.no_sort_rels,
     )
     write_tsv(splits, args.output_dir)
     return {k: v.count() for k, v in splits.items()}
@@ -59,6 +60,7 @@ def cmd_gda(args: argparse.Namespace) -> dict:
         read_gda(spark, args.test_abstracts, args.test_anns, args.test_labels),
         valid_size=args.valid_size,
         hints=args.hints,
+        sort_rels=not args.no_sort_rels,
     )
     write_tsv(splits, args.output_dir)
     return {k: v.count() for k, v in splits.items()}
@@ -86,6 +88,7 @@ def cmd_docred(args: argparse.Namespace) -> dict:
             if path
         },
         hints=args.hints,
+        sort_rels=not args.no_sort_rels,
     )
     write_tsv(splits, args.output_dir)
     return {k: v.count() for k, v in splits.items()}
@@ -102,6 +105,7 @@ def cmd_dgm(args: argparse.Namespace) -> dict:
         spark.read.text(args.dev_pmids),
         valid_size=args.valid_size,
         hints=args.hints,
+        sort_rels=not args.no_sort_rels,
     )
     write_tsv(splits, args.output_dir)
     return {k: v.count() for k, v in splits.items()}
@@ -119,6 +123,7 @@ def build_parser() -> argparse.ArgumentParser:
     cdr.add_argument("--mesh", required=True)
     cdr.add_argument("--hints", action="store_true")
     cdr.add_argument("--combine-train-valid", action="store_true")
+    cdr.add_argument("--no-sort-rels", action="store_true", help="ablation: seeded shuffle instead of first-appearance relation order")
     cdr.set_defaults(fn=cmd_cdr)
 
     gda = sub.add_parser("gda")
@@ -129,6 +134,7 @@ def build_parser() -> argparse.ArgumentParser:
         gda.add_argument(f"--{split}-labels", required=True)
     gda.add_argument("--valid-size", type=float, default=0.2)
     gda.add_argument("--hints", action="store_true")
+    gda.add_argument("--no-sort-rels", action="store_true", help="ablation: seeded shuffle instead of first-appearance relation order")
     gda.set_defaults(fn=cmd_gda)
 
     docred = sub.add_parser("docred")
@@ -138,6 +144,7 @@ def build_parser() -> argparse.ArgumentParser:
     docred.add_argument("--test")
     docred.add_argument("--types", help="types.json with relations.*.verbose")
     docred.add_argument("--hints", action="store_true")
+    docred.add_argument("--no-sort-rels", action="store_true", help="ablation: seeded shuffle instead of first-appearance relation order")
     docred.set_defaults(fn=cmd_docred)
 
     dgm = sub.add_parser("dgm")
@@ -147,6 +154,7 @@ def build_parser() -> argparse.ArgumentParser:
     dgm.add_argument("--dev-pmids", required=True)
     dgm.add_argument("--valid-size", type=float, default=0.2)
     dgm.add_argument("--hints", action="store_true")
+    dgm.add_argument("--no-sort-rels", action="store_true", help="ablation: seeded shuffle instead of first-appearance relation order")
     dgm.set_defaults(fn=cmd_dgm)
 
     return ap

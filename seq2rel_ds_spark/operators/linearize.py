@@ -108,7 +108,12 @@ def with_hinted_text(parsed_with_info: DataFrame) -> DataFrame:
     )
 
 
-def _relation_strings(parsed_col_relations: Column, info: Column) -> Column:
+SHUFFLE_SEED = 13370
+
+
+def _relation_strings(
+    parsed_col_relations: Column, info: Column, sort_rels: bool = True
+) -> Column:
     """Array of linearized relation strings in reference order
     (schemas.py:82-133).
 
@@ -116,48 +121,67 @@ def _relation_strings(parsed_col_relations: Column, info: Column) -> Column:
         [w_{n-2}, ..., w_0, sum(w), i]
     == the reference's stable multi-pass sort sequence; arrays compare
     lexicographically so mixed positions order exactly as the passes do.
+
+    ``sort_rels=False`` is the reference's ablation path (schemas.py:125:
+    ``random.shuffle``); distributed determinism demands a SEEDED shuffle,
+    so the key becomes xxhash64(seed, doc_id, relation string) — pseudo-
+    random order, reproducible across runs and partitionings.
     """
+
+    def _shuffle_key(s: Column, i: Column) -> Column:
+        return F.array(
+            F.xxhash64(F.lit(SHUFFLE_SEED), F.col("doc_id"), s), i.cast("long")
+        )
+
+    def _ref_key(r: Column, i: Column) -> Column:
+        return F.concat(
+            F.reverse(
+                F.slice(
+                    F.transform(r["uids"], lambda u: F.element_at(info, u)["w"]),
+                    1,
+                    F.greatest(F.size(r["uids"]) - 1, F.lit(0)),
+                )
+            ),
+            F.array(
+                F.aggregate(
+                    F.transform(r["uids"], lambda u: F.element_at(info, u)["w"]),
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc + w,
+                )
+            ),
+            F.array(i.cast("long")),
+        )
+
+    def _string(r: Column) -> Column:
+        return normalize_ws_col(
+            F.concat(
+                F.array_join(
+                    F.transform(r["uids"], lambda u: F.element_at(info, u)["str"]), " "
+                ),
+                F.lit(" @"),
+                F.upper(r["label"]),
+                F.lit("@"),
+            )
+        )
+
     keyed = F.transform(
         parsed_col_relations,
         lambda r, i: F.struct(
-            F.concat(
-                F.reverse(
-                    F.slice(
-                        F.transform(r["uids"], lambda u: F.element_at(info, u)["w"]),
-                        1,
-                        F.greatest(F.size(r["uids"]) - 1, F.lit(0)),
-                    )
-                ),
-                F.array(
-                    F.aggregate(
-                        F.transform(r["uids"], lambda u: F.element_at(info, u)["w"]),
-                        F.lit(0).cast("long"),
-                        lambda acc, w: acc + w,
-                    )
-                ),
-                F.array(i.cast("long")),
-            ).alias("key"),
-            normalize_ws_col(
-                F.concat(
-                    F.array_join(
-                        F.transform(r["uids"], lambda u: F.element_at(info, u)["str"]), " "
-                    ),
-                    F.lit(" @"),
-                    F.upper(r["label"]),
-                    F.lit("@"),
-                )
-            ).alias("s"),
+            (_ref_key(r, i) if sort_rels else _shuffle_key(_string(r), i)).alias("key"),
+            _string(r).alias("s"),
         ),
     )
     return F.array_distinct(F.transform(F.array_sort(keyed), lambda k: k["s"]))
 
 
-def with_relation_string(parsed_with_info: DataFrame) -> DataFrame:
+def with_relation_string(parsed_with_info: DataFrame, sort_rels: bool = True) -> DataFrame:
     """Adds `relation_string` (+ folds in `filtered_relations` when the
     column is present — schemas.py:96-106,131-132)."""
     df = parsed_with_info
     rel_str = F.trim(
-        F.array_join(_relation_strings(F.col("relations"), F.col("cluster_info")), " ")
+        F.array_join(
+            _relation_strings(F.col("relations"), F.col("cluster_info"), sort_rels), " "
+        )
     )
     if "filtered_relations" in df.columns:
         # filtered strings keep their given order and are NOT deduped at
@@ -187,13 +211,16 @@ def with_relation_string(parsed_with_info: DataFrame) -> DataFrame:
     return df.withColumn("relation_string", rel_str)
 
 
-def linearize(parsed: DataFrame, hints: bool = False) -> DataFrame:
+def linearize(parsed: DataFrame, hints: bool = False, sort_rels: bool = True) -> DataFrame:
     """Full seq2rel sink row: `line = trim(text) \\t trim(relation_string)`
-    (util.py:278-280).  Returns (doc_id, text, relation_string, line)."""
+    (util.py:278-280).  Returns (doc_id, text, relation_string, line).
+
+    ``sort_rels=False``: ablation ordering (seeded deterministic shuffle of
+    the relation strings — see _relation_strings)."""
     df = with_cluster_info(parsed)
     if hints:
         df = with_hinted_text(df)
-    df = with_relation_string(df)
+    df = with_relation_string(df, sort_rels=sort_rels)
     return df.select(
         "doc_id",
         "text",

@@ -48,6 +48,7 @@ def preprocess_cdr(
     hints: bool = False,
     combine_train_valid: bool = False,
     hint_source: Optional[DataFrame] = None,
+    sort_rels: bool = True,
 ) -> Dict[str, DataFrame]:
     """CDR plan (cdr.py:127-181): train parses without hypernym filtering;
     valid/test parse WITH it (gaining the third tab column); optional
@@ -57,12 +58,12 @@ def preprocess_cdr(
         valid_docs = None
     out = {}
     train = parse_documents(train_docs)
-    out["train"] = linearize(apply_hint_source(train, hint_source), hints=hints)
+    out["train"] = linearize(apply_hint_source(train, hint_source), hints=hints, sort_rels=sort_rels)
     for name, docs in (("valid", valid_docs), ("test", test_docs)):
         if docs is None:
             continue
         parsed = filter_hypernyms(parse_documents(docs), mesh)
-        out[name] = linearize(apply_hint_source(parsed, hint_source), hints=hints)
+        out[name] = linearize(apply_hint_source(parsed, hint_source), hints=hints, sort_rels=sort_rels)
     return out
 
 
@@ -71,11 +72,12 @@ def preprocess_gda(
     test_docs: DataFrame,
     valid_size: float = 0.2,
     hints: bool = False,
+    sort_rels: bool = True,
 ) -> Dict[str, DataFrame]:
     """GDA plan (gda.py:109-158): preprocess train/test, hold out
     ``valid_size`` of train as validation (deterministic hash split)."""
-    train_all = linearize(parse_documents(train_docs), hints=hints)
-    out = {"test": linearize(parse_documents(test_docs), hints=hints)}
+    train_all = linearize(parse_documents(train_docs), hints=hints, sort_rels=sort_rels)
+    out = {"test": linearize(parse_documents(test_docs), hints=hints, sort_rels=sort_rels)}
     if valid_size and valid_size > 0:
         parts = hash_split(
             train_all, "doc_id", weights=(1.0 - valid_size, valid_size), salt="gda"
@@ -86,12 +88,16 @@ def preprocess_gda(
     return out
 
 
-def preprocess_docred(splits: Dict[str, DataFrame], hints: bool = False) -> Dict[str, DataFrame]:
+def preprocess_docred(
+    splits: Dict[str, DataFrame], hints: bool = False, sort_rels: bool = True
+) -> Dict[str, DataFrame]:
     """DocRED plan (docred.py:86-115): every split parses with
     text_segment=abstract (title is empty by construction)."""
     return {
         name: linearize(
-            parse_documents(docs, text_segment="abstract", reanchor=False), hints=hints
+            parse_documents(docs, text_segment="abstract", reanchor=False),
+            hints=hints,
+            sort_rels=sort_rels,
         )
         for name, docs in splits.items()
     }
@@ -103,6 +109,7 @@ def preprocess_dgm(
     dev_pmids: DataFrame,
     valid_size: float = 0.2,
     hints: bool = False,
+    sort_rels: bool = True,
 ) -> Dict[str, DataFrame]:
     """DGM plan (dgm.py:90-167): pmid-list membership decides train vs test
     (the original dev set serves as test); ``valid_size`` of train is held
@@ -112,11 +119,15 @@ def preprocess_dgm(
     train_raw = filter_by_pmids(docs, train_pmids)
     test_raw = filter_by_pmids(docs, dev_pmids)
     train_all = linearize(
-        parse_documents(train_raw, text_segment="abstract", reanchor=False), hints=hints
+        parse_documents(train_raw, text_segment="abstract", reanchor=False),
+        hints=hints,
+        sort_rels=sort_rels,
     )
     out = {
         "test": linearize(
-            parse_documents(test_raw, text_segment="abstract", reanchor=False), hints=hints
+            parse_documents(test_raw, text_segment="abstract", reanchor=False),
+            hints=hints,
+            sort_rels=sort_rels,
         )
     }
     if valid_size and valid_size > 0:

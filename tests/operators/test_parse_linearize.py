@@ -89,6 +89,24 @@ class TestSparkParseLinearize:
         assert ("101", ("C001", "D900"), "CID") in rels
         assert ("101", ("C999", "D900"), "CID") not in rels
 
+    def test_sort_rels_false_seeded_shuffle(self, spark):
+        """Ablation path (schemas.py:125 random.shuffle -> seeded
+        deterministic shuffle): run-to-run identical, token-multiset equal
+        to the sorted form, order differing for at least one fixture doc."""
+        docs = docs_from_strings(spark, synth.CDR_CORPUS)
+        parsed = parse_documents(docs)
+
+        def lines(sort_rels):
+            rows = linearize(parsed, sort_rels=sort_rels).orderBy("doc_id").collect()
+            return [r["relation_string"] for r in rows]
+
+        shuffled = lines(False)
+        assert shuffled == lines(False)  # seeded => deterministic
+        sorted_ = lines(True)
+        assert [sorted(s.split(" ")) for s in shuffled] == [
+            sorted(s.split(" ")) for s in sorted_
+        ]
+
     def test_no_shuffle_in_plan(self, spark):
         """The parse+linearize path must stay a single narrow stage."""
         docs = docs_from_strings(spark, synth.CDR_CORPUS)
