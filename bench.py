@@ -18,6 +18,16 @@ Fairness of the two-level comparison:
     process byte-identical data
   * the fused pipeline is measured (no stage parquet writes): compute
     throughput, not local-disk bandwidth
+
+Co-tenant noise defenses (the VM sees bursty CPU steal that crushed the
+round-1 record):
+  * legs are long (default 2.56M docs) so a steal burst is amortized
+  * every leg is instrumented: /proc/stat steal%% measured over exactly the
+    leg's window, plus a busy-loop probe sandwich compared against a quiet
+    calibration — a leg with steal%% > threshold or probe ratio > 1.5x is
+    marked contaminated and re-run while the wall budget lasts
+  * levels interleave across repeats; per-level result = fastest CLEAN run
+    (falls back to fastest overall if no clean run was possible)
 """
 
 from __future__ import annotations
@@ -105,9 +115,11 @@ def kg_child(cores: int, pages_path: str) -> None:
     )
     try:
         pages = spark.read.parquet(pages_path)
-        # warm-up on a 5% sample: spins Python workers / JIT / Arrow paths
-        # without paying a full extra pass per level
-        run_kg_fused(spark, pages.sample(0.05, seed=1), partitions=cores)
+        # warm-up on a small sample (~64k docs): spins Python workers / JIT /
+        # Arrow paths without paying a full extra pass per level
+        n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
+        frac = min(0.05, max(64000.0 / max(n_docs, 1), 0.002))
+        run_kg_fused(spark, pages.sample(frac, seed=1), partitions=cores)
         (n_triples, n_instances), sec = run_kg_fused(spark, pages, partitions=2 * cores)
         print(
             json.dumps(
@@ -177,7 +189,7 @@ def _spawn_kg(cores: int, pages_path: str) -> dict:
         start_new_session=True,
     )
     try:
-        out, _ = proc.communicate(timeout=int(os.environ.get("SPARK_GRAFT_KG_CHILD_TIMEOUT", "240")))
+        out, _ = proc.communicate(timeout=int(os.environ.get("SPARK_GRAFT_KG_CHILD_TIMEOUT", "360")))
     except subprocess.TimeoutExpired:
         os.killpg(proc.pid, signal.SIGKILL)
         proc.wait()
@@ -187,6 +199,47 @@ def _spawn_kg(cores: int, pages_path: str) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _read_cpu_times() -> tuple:
+    """(steal_jiffies, total_jiffies) from /proc/stat — the hypervisor's own
+    account of CPU time stolen from this VM."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _busy_probe(n_iter: int = 8_000_000) -> float:
+    """Wall seconds for a fixed CPU-bound loop — a direct contention probe
+    (slower than calibration == something else is eating cycles)."""
+    t0 = time.time()
+    x = 0
+    for _ in range(n_iter):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return time.time() - t0
+
+
+def _measured_kg(cores: int, pages_path: str, probe_calib: float) -> dict:
+    """One leg + its noise instrumentation: /proc/stat steal%% over exactly
+    the leg's window and a busy-probe sandwich vs quiet calibration."""
+    p0 = _busy_probe()
+    s0, t0 = _read_cpu_times()
+    r = _spawn_kg(cores, pages_path)
+    s1, t1 = _read_cpu_times()
+    p1 = _busy_probe()
+    if r is None:
+        return None
+    steal_pct = 100.0 * (s1 - s0) / max(t1 - t0, 1)
+    probe_ratio = max(p0, p1) / probe_calib if probe_calib else 1.0
+    r["steal_pct"] = round(steal_pct, 2)
+    r["probe_ratio"] = round(probe_ratio, 2)
+    r["contaminated"] = steal_pct > float(
+        os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "3.0")
+    ) or probe_ratio > 1.5
+    return r
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--kg-child":
         kg_child(int(sys.argv[2]), sys.argv[3])
@@ -194,7 +247,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "640000"))
+    # legs must be long enough to amortize co-tenant steal bursts: at clean
+    # rates 2.56M docs = ~15-20s on the high leg, ~60-70s on the low leg
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
     cores_low = max(cpus // 4, 1)
     t_start = time.time()
 
@@ -213,39 +268,43 @@ def main() -> None:
     spark.stop()
 
     # Interleave the two levels across repeats and take the per-level
-    # minimum: the sandbox VM has time-varying CPU-steal windows, and
-    # alternating runs decorrelates each level from a single noisy window.
-    repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "3"))
-    kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "330"))
+    # fastest CLEAN run: the sandbox VM has time-varying CPU-steal windows;
+    # alternating runs decorrelates the levels from one noisy window, and
+    # the per-leg steal/probe instrumentation retries contaminated legs
+    # while the wall budget lasts.
+    repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
+    kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "400"))
     kg_t0 = time.time()
+    probe_calib = min(_busy_probe(), _busy_probe())
     try:
         lo_runs, hi_runs = [], []
-        for i in range(repeats):
-            if i > 0 and time.time() - kg_t0 > kg_budget:
+
+        def clean(runs):
+            return [r for r in runs if not r["contaminated"]]
+
+        rounds = 0
+        while rounds < repeats + 3:
+            need_lo = len(clean(lo_runs)) < repeats
+            need_hi = len(clean(hi_runs)) < repeats
+            if not (need_lo or need_hi):
                 break
-            lo_runs.append(_spawn_kg(cores_low, pages_path))
-            hi_runs.append(_spawn_kg(cpus, pages_path))
-        lo_runs = [r for r in lo_runs if r]
-        hi_runs = [r for r in hi_runs if r]
-        # noise-burst retry: the all-cores leg shares every CPU with any
-        # co-tenant activity; if its runs disagree wildly, buy one more
-        # round — but only inside the wall budget
-        hi_secs = [r["seconds"] for r in hi_runs]
-        if (
-            hi_secs
-            and max(hi_secs) > 2 * min(hi_secs)
-            and time.time() - kg_t0 < kg_budget
-        ):
-            extra_lo = _spawn_kg(cores_low, pages_path)
-            extra_hi = _spawn_kg(cpus, pages_path)
-            if extra_lo:
-                lo_runs.append(extra_lo)
-            if extra_hi:
-                hi_runs.append(extra_hi)
+            if rounds > 0 and time.time() - kg_t0 > kg_budget:
+                break
+            if need_lo:
+                r = _measured_kg(cores_low, pages_path, probe_calib)
+                if r:
+                    lo_runs.append(r)
+            if need_hi:
+                r = _measured_kg(cpus, pages_path, probe_calib)
+                if r:
+                    hi_runs.append(r)
+            rounds += 1
         if not lo_runs or not hi_runs:
             raise RuntimeError("all kg scaling runs timed out")
-        lo = min(lo_runs, key=lambda r: r["seconds"])
-        hi = min(hi_runs, key=lambda r: r["seconds"])
+        # fastest clean run per level; fall back to fastest overall only if
+        # every run in the budget was contaminated (visible in the run lists)
+        lo = min(clean(lo_runs) or lo_runs, key=lambda r: r["seconds"])
+        hi = min(clean(hi_runs) or hi_runs, key=lambda r: r["seconds"])
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     # throughput = emitted relation instances per second (distinct canonical
@@ -269,8 +328,16 @@ def main() -> None:
             "cores_high": cpus,
             "seconds_low": lo["seconds"],
             "seconds_high": hi["seconds"],
-            "seconds_low_runs": [r["seconds"] for r in lo_runs],
-            "seconds_high_runs": [r["seconds"] for r in hi_runs],
+            "steal_pct_low": lo["steal_pct"],
+            "steal_pct_high": hi["steal_pct"],
+            "low_runs": [
+                {k: r[k] for k in ("seconds", "steal_pct", "probe_ratio", "contaminated")}
+                for r in lo_runs
+            ],
+            "high_runs": [
+                {k: r[k] for k in ("seconds", "steal_pct", "probe_ratio", "contaminated")}
+                for r in hi_runs
+            ],
             "throughput_low": round(thr_lo, 2),
             "throughput_high": round(thr_hi, 2),
             "scaling_efficiency": round(eff, 3),

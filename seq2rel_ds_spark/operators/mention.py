@@ -47,14 +47,16 @@ def scan_sentences(
     """texts(url, text) -> scan rows (kind = 'mention' | 'cue').
 
     For cue rows, ``token`` carries the predicate LABEL (not the cue word)
-    and (start, end) the cue span.  The dictionaries ride to executors in
-    the task closure (broadcast-equivalent at this size; swap for
-    ``SparkContext.broadcast`` for multi-MB dictionaries).
+    and (start, end) the cue span.  The dictionaries ship via
+    ``SparkContext.broadcast`` — once per executor, not re-pickled into
+    every task closure (the difference matters for multi-GB dictionaries).
     """
-    pattern_surfaces = list(surfaces)
-    preds = dict(predicates or {})
+    bc = texts.sparkSession.sparkContext.broadcast(
+        (list(surfaces), dict(predicates or {}))
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern_surfaces, preds = bc.value
         pat = _compile_dictionary(pattern_surfaces)
         cue_pat = (
             re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
@@ -120,10 +122,12 @@ def scan_pages(
     """
     from seq2rel_ds_spark.operators.extract import extract_text_from_html
 
-    pattern_surfaces = list(surfaces)
-    preds = dict(predicates or {})
+    bc = pages.sparkSession.sparkContext.broadcast(
+        (list(surfaces), dict(predicates or {}))
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern_surfaces, preds = bc.value
         pat = _compile_dictionary(pattern_surfaces)
         cue_pat = (
             re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
@@ -183,7 +187,9 @@ def fused_relation_scan(
     functions in core.link — identical to the modular Catalyst operators,
     pinned by tests.
 
-    ``dictionary_rows``: (surface, uid, label, is_canonical) tuples.
+    ``dictionary_rows``: (surface, uid, label, is_canonical) tuples —
+    shipped via ``SparkContext.broadcast`` (once per executor; the task
+    closure carries only the broadcast handle).
     """
     from seq2rel_ds_spark.core.link import (
         build_dictionary,
@@ -192,10 +198,12 @@ def fused_relation_scan(
     )
     from seq2rel_ds_spark.operators.extract import extract_text_from_html
 
-    dict_rows = list(dictionary_rows)
-    preds = dict(predicates)
+    bc = pages.sparkSession.sparkContext.broadcast(
+        (list(dictionary_rows), dict(predicates))
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dict_rows, preds = bc.value
         dictionary = build_dictionary(dict_rows)
         pat = _compile_dictionary(list(dictionary))
         cue_pat = re.compile(
