@@ -109,7 +109,14 @@ def kg_child(cores: int, pages_path: str) -> None:
         # partitions and cap parallelism) and bigger Arrow batches to cut
         # JVM<->Python IPC round trips — measured: 16m+40k beats 8m+10k ~30%
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "16m",
+            # fine-grained splits: the python-heavy scan must run many waves
+            # of short tasks, not 2 waves of long ones — with coarse splits a
+            # single straggler task idles half the cores for half the job
+            # (observed 22-36s swings on an otherwise quiet box)
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"
+            ),
+            "spark.sql.files.openCostInBytes": "0",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "40000",
         },
     )
@@ -259,12 +266,19 @@ def main() -> None:
     from seq2rel_ds_spark.session import get_spark
     from seq2rel_ds_spark.sources.pages import synthesize_pages
 
+    # measure the single-box frequency-scaling ceiling FIRST, in the
+    # quietest window (before any Spark work) — measuring it after the legs
+    # under residual load would bias it low and flatter efficiency_vs_hw
+    ceiling = _hw_ceiling(cores_low, cpus)
+
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
     timings = run_queries(spark, sf_dir)
     # generate the scaling input once (untimed input preparation)
     kg_dir = tempfile.mkdtemp(prefix="bench_kg_pages_")
     pages_path = f"{kg_dir}/pages"
-    synthesize_pages(spark, kg_docs, partitions=4 * cpus).write.parquet(pages_path)
+    # 8 files/core: with one row group per file, file count bounds split
+    # granularity — many short waves absorb stragglers on both legs
+    synthesize_pages(spark, kg_docs, partitions=8 * cpus).write.parquet(pages_path)
     spark.stop()
 
     # Interleave the two levels across repeats and take the per-level
@@ -312,7 +326,6 @@ def main() -> None:
     thr_lo = lo["n_instances"] / lo["seconds"] if lo["seconds"] else 0.0
     thr_hi = hi["n_instances"] / hi["seconds"] if hi["seconds"] else 0.0
     eff = (thr_hi / thr_lo) / (cpus / cores_low) if thr_lo else 0.0
-    ceiling = _hw_ceiling(cores_low, cpus)
 
     result = {
         "metric": "kg_triples_per_sec@local[%d]" % cpus,
