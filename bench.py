@@ -255,8 +255,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # legs must be long enough to amortize co-tenant steal bursts: at clean
-    # rates 2.56M docs = ~15-20s on the high leg, ~60-70s on the low leg
-    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
+    # rates 3.84M docs = ~18s on the high leg, ~60s on the low leg
+    kg_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "3840000"))
     cores_low = max(cpus // 4, 1)
     t_start = time.time()
 
