@@ -1,0 +1,54 @@
+"""The trie-compressed dictionary matcher must be match-identical to the
+flat longest-first alternation it replaced (operators/mention.py:36) —
+including prefix-comparable surfaces, regex metacharacters, and
+multi-token surfaces.  Pure Python, no Spark session needed."""
+
+import re
+
+from seq2rel_ds_spark.operators.mention import _compile_dictionary
+
+
+def _flat(surfaces):
+    ordered = sorted(set(surfaces), key=lambda s: (-len(s), s))
+    return re.compile(r"\b(" + "|".join(re.escape(s) for s in ordered) + r")\b")
+
+
+SURFACES = [
+    "abc",
+    "abcd",          # prefix pair: longest must win
+    "abc def",       # multi-token sharing a prefix with abc
+    "ab",
+    "a+b",           # regex metachar
+    "x.y",           # dot must stay literal
+    "zeta-9",        # hyphenated alias
+    "zeta",
+    "qq",
+]
+
+TEXTS = [
+    "abc and abcd then abc def end",
+    "ab abc abcd ab",
+    "a+b meets x.y and xay",     # xay must NOT match the literal x.y
+    "zeta-9 or zeta alone",
+    "qqq qq q",                   # \b semantics around repeated letters
+    "",
+    "abcd" * 50 + " abc def",
+]
+
+
+class TestTrieDictionaryRegex:
+    def test_match_identical_to_flat_alternation(self):
+        trie = _compile_dictionary(SURFACES)
+        flat = _flat(SURFACES)
+        for text in TEXTS:
+            got = [(m.start(), m.end(), m.group(0)) for m in trie.finditer(text)]
+            want = [(m.start(), m.end(), m.group(0)) for m in flat.finditer(text)]
+            assert got == want, text
+
+    def test_longest_dictionary_match_wins(self):
+        trie = _compile_dictionary(["ab", "abc", "abcd"])
+        assert [m.group(0) for m in trie.finditer("abcd abc ab")] == [
+            "abcd",
+            "abc",
+            "ab",
+        ]

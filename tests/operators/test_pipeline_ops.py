@@ -183,6 +183,16 @@ class TestSplit:
         again = hash_split(df, "key")
         assert parts["valid"].exceptAll(again["valid"]).count() == 0
 
+    def test_hash_split_thirds_cover_everything(self, spark):
+        """Rounded bucket widths that don't sum to `buckets` (thirds ->
+        333+333+333) must not drop the trailing buckets: the final split
+        takes the remainder and every row lands in exactly one split."""
+        from seq2rel_ds_spark.operators.split import hash_split
+
+        df = spark.range(3000).withColumn("key", F.col("id").cast("string"))
+        parts = hash_split(df, "key", weights=(1 / 3, 1 / 3, 1 / 3))
+        assert sum(v.count() for v in parts.values()) == 3000
+
     def test_random_split_seeded(self, spark):
         from seq2rel_ds_spark.operators.split import random_split
 
