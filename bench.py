@@ -232,6 +232,16 @@ def _busy_probe(n_iter: int = 8_000_000) -> float:
     return time.time() - t0
 
 
+def _wait_for_quiet(probe_calib: float, deadline: float, ratio: float = 1.3) -> None:
+    """Hold a leg's start until the box looks quiet (probe within `ratio`
+    of calibration) or the deadline passes — waiting out a co-tenant burst
+    is cheaper than burning a whole contaminated leg and retrying."""
+    while time.time() < deadline:
+        if not probe_calib or _busy_probe() / probe_calib <= ratio:
+            return
+        time.sleep(8)
+
+
 def _measured_kg(cores: int, pages_path: str, probe_calib: float) -> dict:
     """One leg + its noise instrumentation: /proc/stat steal%% over exactly
     the leg's window and a busy-probe sandwich vs quiet calibration."""
@@ -312,11 +322,18 @@ def main() -> None:
                 break
             if rounds > 0 and time.time() - kg_t0 > kg_budget:
                 break
+            # up to ~1/8 of the remaining budget may be spent waiting out a
+            # co-tenant burst before each leg — cheaper than a wasted leg
+            quiet_deadline = time.time() + max(
+                0.0, (kg_budget - (time.time() - kg_t0)) / 8
+            )
             if need_lo:
+                _wait_for_quiet(probe_calib, quiet_deadline)
                 r = _measured_kg(cores_low, pages_path, probe_calib)
                 if r:
                     lo_runs.append(r)
             if need_hi:
+                _wait_for_quiet(probe_calib, quiet_deadline)
                 r = _measured_kg(cpus, pages_path, probe_calib)
                 if r:
                     hi_runs.append(r)

@@ -245,6 +245,18 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
+    def test_raises_when_max_iter_too_low(self, spark):
+        """A capped run must fail loudly instead of silently picking an
+        arbitrary parent per node (the round-1 dropDuplicates hazard)."""
+        import pytest
+
+        from seq2rel_ds_spark.operators.cluster import connected_components
+
+        chain = [(i, i + 1) for i in range(64)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=1)
+
 
 class TestWebKG:
     def test_end_to_end_prf_and_resume(self, spark):
