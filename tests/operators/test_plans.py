@@ -81,6 +81,30 @@ class TestRelationalPlans:
             assert "BroadcastNestedLoopJoin" not in plan, q.__name__
             assert "CartesianProduct" not in plan, q.__name__
 
+    def test_bucketed_triples_join_no_exchange(self, spark, tmp_path):
+        """bucketBy(subj) table: a subj-keyed self-join must read both sides
+        from co-located buckets — zero Exchange in the plan."""
+        from seq2rel_ds_spark.plans.catalog import TripleCatalog
+
+        rows = [(f"s{i % 7}", "REL", f"o{i}", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj string, n_support long")
+        cat = TripleCatalog(spark, str(tmp_path), subj_buckets=4)
+        name = cat.write_triples_bucketed(df, name="t_bucketed_test")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the sort-merge path: on a real multi-TB triple table the
+            # sides are far beyond broadcast size — that is the case
+            # bucketing exists for
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            t = spark.table(name)
+            joined = t.alias("a").join(t.alias("b"), "subj").groupBy("subj").count()
+            plan = _plan(joined)
+            assert "Bucketed: true" in plan
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
     def test_dictionary_join_broadcast_in_link(self, spark):
         from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
         from seq2rel_ds_spark.sources import pages as pages_src
