@@ -579,6 +579,35 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the materialized co-occurrence graph: per-node
+    degree and support mass (map-side partial agg after a narrow union)."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    und = co.select(F.col("subj").alias("node"), "n_docs").unionAll(
+        co.select(F.col("obj").alias("node"), "n_docs")
+    )
+    return und.groupBy("node").agg(
+        F.count("*").alias("degree"), F.sum("n_docs").alias("support")
+    )
+
+
+def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability: unordered node pairs (x < z) connected through
+    at least one shared neighbor y, with the path count.  Self-join on the
+    undirected edge list — the canonical graph-traversal join shape (and
+    the one the bucketed triple layout co-locates at scale)."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    und = co.select(F.col("subj").alias("a"), F.col("obj").alias("b")).unionAll(
+        co.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
+    )
+    x, y = und.alias("x"), und.alias("y")
+    return (
+        x.join(y, (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")))
+        .groupBy(F.col("x.a").alias("node_x"), F.col("y.b").alias("node_z"))
+        .agg(F.count("*").alias("n_paths"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -617,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_triples": q_kg_triples,
+        "kg_degree": q_kg_degree,
+        "kg_two_hop": q_kg_two_hop,
     }
 
 
@@ -1228,6 +1259,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(subj) AS subj, 'COOCCURS_WITH' AS pred, md5(obj) AS obj,
                    subj AS subj_key, obj AS obj_key, n_docs AS n_support
             FROM ({_KG_COOCCURRENCE_SQL})
+        """,
+        "kg_degree": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            und AS (
+              SELECT subj AS node, n_docs FROM co
+              UNION ALL
+              SELECT obj AS node, n_docs FROM co
+            )
+            SELECT node, count(*) AS degree, CAST(sum(n_docs) AS BIGINT) AS support
+            FROM und GROUP BY node
+        """,
+        "kg_two_hop": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            und AS (
+              SELECT subj AS a, obj AS b FROM co
+              UNION ALL
+              SELECT obj AS a, subj AS b FROM co
+            )
+            SELECT x.a AS node_x, y.b AS node_z, count(*) AS n_paths
+            FROM und x JOIN und y ON x.b = y.a AND x.a < y.b
+            GROUP BY x.a, y.b
         """,
     })
     return out

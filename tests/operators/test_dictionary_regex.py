@@ -52,3 +52,24 @@ class TestTrieDictionaryRegex:
             "abc",
             "ab",
         ]
+
+    def test_property_equivalence_random_dictionaries(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = "ab .-+x"
+        word = st.text(alphabet=alphabet, min_size=1, max_size=6)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.sets(word, min_size=1, max_size=10),
+            st.text(alphabet=alphabet, max_size=60),
+        )
+        def check(surfaces, text):
+            trie = _compile_dictionary(sorted(surfaces))
+            flat = _flat(sorted(surfaces))
+            got = [(m.start(), m.end()) for m in trie.finditer(text)]
+            want = [(m.start(), m.end()) for m in flat.finditer(text)]
+            assert got == want
+
+        check()
