@@ -321,6 +321,69 @@ class TestStreaming:
         assert got.filter(F.col("surface").isNull()).count() == 0
 
 
+class TestStreamingTriples:
+    def test_incremental_merge_equals_batch(self, spark, tmp_path):
+        """Two page drops through the incremental maintenance stream must
+        merge to exactly the batch pipeline's canonical counts over the
+        union; compaction preserves them."""
+        from seq2rel_ds_spark.operators.mention import fused_relation_scan
+        from seq2rel_ds_spark.operators.triples import canonicalize_triples
+        from seq2rel_ds_spark.sources.pages import (
+            PREDICATES,
+            dictionary_df,
+            synthesize_pages,
+        )
+        from seq2rel_ds_spark.streaming.pages_stream import read_pages_stream
+        from seq2rel_ds_spark.streaming.triples_stream import (
+            compact_increments,
+            merged_triples,
+            start_triples_stream,
+        )
+
+        src = str(tmp_path / "pages_in")
+        inc = str(tmp_path / "increments")
+        chk = str(tmp_path / "chk")
+        all_pages = synthesize_pages(spark, 40, partitions=2)
+        half = "CAST(split(url, '/')[3] AS INT) < 20"
+        all_pages.filter(half).write.mode("append").parquet(src)
+        all_pages.filter(f"NOT ({half})").write.mode("append").parquet(src)
+
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"])
+            for r in dictionary_df(spark).collect()
+        ]
+        q = start_triples_stream(
+            read_pages_stream(spark, src, max_files=1),
+            dict_rows,
+            PREDICATES,
+            inc,
+            chk,
+            salt_buckets=4,
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r["subj"], r["pred"], r["obj"]): r["n_support"]
+            for r in merged_triples(spark, inc).collect()
+        }
+        batch = canonicalize_triples(
+            fused_relation_scan(all_pages, dict_rows, PREDICATES), salt_buckets=4
+        )
+        want = {
+            (r["subj"], r["pred"], r["obj"]): r["n_support"] for r in batch.collect()
+        }
+        assert got == want
+
+        comp = str(tmp_path / "compacted")
+        n = compact_increments(spark, inc, comp)
+        assert n == len(want)
+        re_merged = {
+            (r["subj"], r["pred"], r["obj"]): r["n_support"]
+            for r in merged_triples(spark, comp).collect()
+        }
+        assert re_merged == want
+
+
 class TestPipelineResumeRobustness:
     def test_partial_write_recomputes_stage(self, spark, tmp_path):
         """A stage dir without _SUCCESS (killed mid-write) must re-run."""
