@@ -287,6 +287,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution (MinHash pairs -> connected components ->
+    survivor per cluster); oracle = recursive-CTE transitive closure."""
+    from seq2rel_ds_spark.operators.dedup import neardup_cluster_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    return neardup_cluster_assignments(docs, threshold=0.6, n=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH candidate generation + exact in-bucket verify — the
     scale path (equi-join on (band, bucket), never a cartesian).  The oracle
@@ -635,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_clusters": q_neardup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -913,6 +926,77 @@ _CC_COMPONENTS_SQL = """
     SELECT g.doc_id AS node, m.comp AS component
     FROM g JOIN m ON g.k = m.k
     WHERE m.n > 1
+"""
+
+
+# MinHash-LSH pair derivation as a reusable CTE list (operators/dedup.py:
+# minhash_lsh_pairs with n=2, num_hashes=16, bands=8, threshold 0.6).
+_MINHASH_CTES = r"""
+    docsh AS (
+      SELECT doc_id AS id,
+        CASE WHEN len(toks) >= 2
+             THEN list_distinct(list_transform(range(1, len(toks)),
+                                               i -> array_to_string(toks[i:i+1], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM (SELECT doc_id,
+                   string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    ),
+    sig AS (
+      SELECT id, list_transform(range(0, 16),
+             k -> list_aggregate(list_transform(shingles,
+                    s -> md5(k::VARCHAR || ':' || s)), 'min')) AS sig
+      FROM docsh
+    ),
+    bands AS (
+      SELECT id, bi AS band,
+             md5(array_to_string(sig[bi*2+1 : bi*2+2], '|')) AS bucket
+      FROM sig, unnest(range(0, 8)) AS t(bi)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM docsh),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    mh_pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
+    )
+"""
+
+_MINHASH_SQL = f"""
+    WITH {_MINHASH_CTES}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+"""
+
+# Connected components over the near-dup pair graph via transitive closure
+# (recursive CTE; component id = min reachable node) — the oracle for the
+# Spark dedup->CC composite in dedup.neardup_cluster_assignments.
+_NEARDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    e AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM mh_pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS keep_id
+    FROM reach GROUP BY u
 """
 
 
@@ -1207,47 +1291,8 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
             WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
         """,
-        "minhash_lsh": r"""
-            WITH docsh AS (
-              SELECT doc_id AS id,
-                CASE WHEN len(toks) >= 2
-                     THEN list_distinct(list_transform(range(1, len(toks)),
-                                                       i -> array_to_string(toks[i:i+1], ' ')))
-                     ELSE [array_to_string(toks, ' ')] END AS shingles
-              FROM (SELECT doc_id,
-                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
-                    FROM documents)
-            ),
-            sig AS (
-              SELECT id, list_transform(range(0, 16),
-                     k -> list_aggregate(list_transform(shingles,
-                            s -> md5(k::VARCHAR || ':' || s)), 'min')) AS sig
-              FROM docsh
-            ),
-            bands AS (
-              SELECT id, bi AS band,
-                     md5(array_to_string(sig[bi*2+1 : bi*2+2], '|')) AS bucket
-              FROM sig, unnest(range(0, 8)) AS t(bi)
-            ),
-            cand AS (
-              SELECT DISTINCT a.id AS id_a, b.id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-            ),
-            sh AS (SELECT id, unnest(shingles) AS shingle FROM docsh),
-            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-            inter AS (
-              SELECT c.id_a, c.id_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh a ON a.id = c.id_a
-              JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
-              GROUP BY c.id_a, c.id_b
-            )
-            SELECT id_a, id_b,
-                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
-            FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-            WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
-        """,
+        "minhash_lsh": _MINHASH_SQL,
+        "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "pubtator_mentions": _PUBTATOR_MENTIONS_SQL,
         "pubtator_relations": _PUBTATOR_RELATIONS_SQL,

@@ -325,6 +325,38 @@ def simhash_pairs(
     )
 
 
+def neardup_cluster_assignments(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate CLUSTER resolution — the full 100 TB dedup op:
+    MinHash-LSH candidate pairs -> verified near-dup edges -> connected
+    components -> (doc_id, keep_id) survivor assignment (keep_id = min doc
+    id of the cluster; deterministic regardless of partitioning).
+
+    Pair detection alone under-deletes: near-dup similarity is not
+    transitive-closed at the pair level (A~B, B~C but A!~C still form one
+    redundancy cluster), so dedup must delete per *component*, keeping one
+    survivor.  Only docs belonging to some cluster appear in the output;
+    singletons are implicitly their own survivor.
+    """
+    from seq2rel_ds_spark.operators.cluster import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, n=n, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     dim: int,
