@@ -169,6 +169,64 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users counted at
+    a step only if it happened strictly after their previous step (min-
+    timestamp chaining, two broadcastable user-level joins)."""
+    ev = _t(spark, sf_dir, "events")
+    tv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    tc = (
+        ev.join(tv, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    tp = (
+        ev.join(tc, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return tp.select(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active k days after their first-seen day
+    (distinct active days joined to the cohort day, offsets 0-7)."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analytics (documents table)
 # ---------------------------------------------------------------------------
@@ -634,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props_json": q_events_props_json,
         "events_rollup": q_events_rollup,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1160,6 +1220,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY ROLLUP(event_type, value_band)
+        """,
+        "events_funnel": """
+            WITH tv AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+              FROM events GROUP BY user_id
+            ),
+            tc AS (
+              SELECT e.user_id, any_value(tv.t_view) AS t_view,
+                     min(CASE WHEN e.event_type = 'click' AND e.ts > tv.t_view
+                              THEN e.ts END) AS t_click
+              FROM events e JOIN tv ON e.user_id = tv.user_id
+              GROUP BY e.user_id
+            ),
+            tp AS (
+              SELECT e.user_id, any_value(tc.t_view) AS t_view,
+                     any_value(tc.t_click) AS t_click,
+                     min(CASE WHEN e.event_type = 'purchase' AND e.ts > tc.t_click
+                              THEN e.ts END) AS t_purchase
+              FROM events e JOIN tc ON e.user_id = tc.user_id
+              GROUP BY e.user_id
+            )
+            SELECT count(t_view) AS n_view,
+                   count(t_click) AS n_click_after_view,
+                   count(t_purchase) AS n_purchase_after_click
+            FROM tp
+        """,
+        "events_retention": """
+            WITH first_day AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            )
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   datediff('day', f.cohort_day, a.day) AS day_offset,
+                   count(*) AS n_users
+            FROM active a JOIN first_day f ON a.user_id = f.user_id
+            WHERE datediff('day', f.cohort_day, a.day) <= 7
+            GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
