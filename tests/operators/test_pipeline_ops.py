@@ -60,6 +60,20 @@ class TestDedup:
         assert lsh <= exact
         assert (0, 1) in lsh and (0, 4) in lsh
 
+    def test_neardup_cluster_assignments(self, spark, docs_df):
+        """Pairs A~B, B~C (A!~C) must still resolve into ONE cluster with a
+        single survivor — the component-level dedup guarantee."""
+        from seq2rel_ds_spark.operators.dedup import neardup_cluster_assignments
+
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in neardup_cluster_assignments(
+                docs_df, threshold=0.5, n=2
+            ).collect()
+        }
+        # docs 0/1/4 are dups, 2 a near-dup of them, 3 unrelated (absent)
+        assert got == {0: 0, 1: 0, 2: 0, 4: 0}
+
     def test_simhash_pairs(self, spark, docs_df):
         from seq2rel_ds_spark.operators.dedup import simhash_pairs
 
