@@ -257,8 +257,8 @@ def _measured_kg(cores: int, pages_path: str, probe_calib: float) -> dict:
     r["steal_pct"] = round(steal_pct, 2)
     r["probe_ratio"] = round(probe_ratio, 2)
     r["contaminated"] = steal_pct > float(
-        os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "3.0")
-    ) or probe_ratio > 1.5
+        os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "2.0")
+    ) or probe_ratio > 1.4
     return r
 
 
@@ -327,16 +327,22 @@ def main() -> None:
             quiet_deadline = time.time() + max(
                 0.0, (kg_budget - (time.time() - kg_t0)) / 8
             )
-            if need_lo:
+            # alternate which level goes first each round: co-tenant bursts
+            # arrive mid-run, so a fixed order systematically exposes the
+            # second leg to more noise
+            legs = [
+                (need_lo, cores_low, lo_runs),
+                (need_hi, cpus, hi_runs),
+            ]
+            if rounds % 2 == 1:
+                legs.reverse()
+            for need, cores, sink in legs:
+                if not need:
+                    continue
                 _wait_for_quiet(probe_calib, quiet_deadline)
-                r = _measured_kg(cores_low, pages_path, probe_calib)
+                r = _measured_kg(cores, pages_path, probe_calib)
                 if r:
-                    lo_runs.append(r)
-            if need_hi:
-                _wait_for_quiet(probe_calib, quiet_deadline)
-                r = _measured_kg(cpus, pages_path, probe_calib)
-                if r:
-                    hi_runs.append(r)
+                    sink.append(r)
             rounds += 1
         if not lo_runs or not hi_runs:
             raise RuntimeError("all kg scaling runs timed out")
