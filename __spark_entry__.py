@@ -255,6 +255,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fp_md5")
 
 
+def q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (textstats.with_redaction): deterministic
+    synthetic PII (email/phone/IP derived from doc_id) is injected in BOTH
+    engines, then redacted — md5 of the redacted text plus span counts."""
+    from seq2rel_ds_spark.operators.textstats import with_redaction
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), 256).cast("string"),
+        F.lit(".7"),
+    )
+    return with_redaction(docs.withColumn("text", pii)).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"), "n_redactions"
+    )
+
+
 def q_doc_fp_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """53-bit Karp-Rabin rolling fingerprint (JVM-side aggregate fold)."""
     from seq2rel_ds_spark.operators.textstats import with_fingerprint
@@ -697,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_redact": q_doc_redact,
         "doc_fp_roll": q_doc_fp_roll,
         "cc_components": q_cc_components,
         "media_image_features": q_media_image_features,
@@ -1144,6 +1167,26 @@ def oracle_sql() -> dict[str, str]:
     out = _embedding_lsh_sqls()
     out.update(_media_sqls())
     out.update({
+        "doc_redact": r"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@mail.example.com or 555-010-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' from 10.0.' || (doc_id % 256) || '.7' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5,
+                   (len(string_split_regex(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1)
+                   + (len(string_split_regex(t, '\b\d{3}-\d{3}-\d{4}\b')) - 1)
+                   + (len(string_split_regex(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1)
+                   AS n_redactions
+            FROM pii
+        """,
         "doc_fp_roll": _FP_ROLL_SQL,
         "cc_components": _CC_COMPONENTS_SQL,
         "q1_pricing_summary": """
