@@ -84,6 +84,25 @@ class TestDedup:
         assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0 and pairs[(1, 4)] == 0
 
 
+class TestRedaction:
+    def test_with_redaction(self, spark):
+        from seq2rel_ds_spark.operators.textstats import with_redaction
+
+        rows = [
+            (0, "mail me at jo.doe+x@corp.example.org today"),
+            (1, "call 555-123-4567 or ping 10.0.0.1 now"),
+            (2, "nothing sensitive here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in with_redaction(df).collect()}
+        assert got[0]["redacted"] == "mail me at [EMAIL] today"
+        assert got[0]["n_redactions"] == 1
+        assert got[1]["redacted"] == "call [PHONE] or ping [IP] now"
+        assert got[1]["n_redactions"] == 2
+        assert got[2]["redacted"] == "nothing sensitive here"
+        assert got[2]["n_redactions"] == 0
+
+
 class TestSimilarity:
     def test_brute_force_topk(self, spark):
         from seq2rel_ds_spark.operators.similarity import brute_force_topk
