@@ -673,10 +673,12 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
-    degree and support mass (map-side partial agg after a narrow union)."""
+    degree and support mass.  Both edge orientations come from ONE pass
+    (explode of [subj, obj]) — a unionAll of two selects over the same
+    aggregate would recompute the whole upstream subtree twice."""
     co = q_kg_cooccurrence(spark, sf_dir)
-    und = co.select(F.col("subj").alias("node"), "n_docs").unionAll(
-        co.select(F.col("obj").alias("node"), "n_docs")
+    und = co.select(
+        F.explode(F.array("subj", "obj")).alias("node"), "n_docs"
     )
     return und.groupBy("node").agg(
         F.count("*").alias("degree"), F.sum("n_docs").alias("support")
@@ -687,11 +689,20 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop reachability: unordered node pairs (x < z) connected through
     at least one shared neighbor y, with the path count.  Self-join on the
     undirected edge list — the canonical graph-traversal join shape (and
-    the one the bucketed triple layout co-locates at scale)."""
+    the one the bucketed triple layout co-locates at scale).
+
+    Orientation doubling happens in one explode pass, and the (small,
+    aggregated) edge list is persisted so the self-join's two references
+    don't recompute the upstream mention derivation."""
     co = q_kg_cooccurrence(spark, sf_dir)
-    und = co.select(F.col("subj").alias("a"), F.col("obj").alias("b")).unionAll(
-        co.select(F.col("obj").alias("a"), F.col("subj").alias("b"))
-    )
+    und = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("a"), F.col("obj").alias("b")),
+                F.struct(F.col("obj").alias("a"), F.col("subj").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").persist()
     x, y = und.alias("x"), und.alias("y")
     return (
         x.join(y, (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")))

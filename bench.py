@@ -46,12 +46,16 @@ BENCH_QUERIES = [
     "q5_nation_volume",
     "events_hourly",
     "events_sessions",
+    "events_funnel",
+    "events_retention",
     "doc_token_stats",
     "token_histogram",
     "exact_dedup",
     "doc_quality",
+    "doc_redact",
     "ann_topk",
     "kg_triples",
+    "kg_two_hop",
 ]
 
 
