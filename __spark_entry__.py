@@ -517,13 +517,42 @@ def _pubtator_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus independently in SQL, so the real parse->linearize operator stack
     is audited end-to-end, not just its glue.
 
+    On top of the clean lines, deterministic doc_id-keyed INJECTIONS stress
+    every hard parse branch under the gate (reference util.py:173-227), with
+    t1/t2 = the two lexicographically-first distinct terms of the doc:
+
+      T  (doc_id%6==0)            title-token mention line (uid = 'd<id>',
+                                  span [0, len(title))) — exercises
+                                  title/abstract section assignment and
+                                  feeds the _title/_abstract entries
+      A  (doc_id%2==0, >=2 terms) 7-column compound line 't1|t2' spanning
+                                  both first hits — the P2 re-anchor fires
+                                  per member (util.py:196-209); re-anchored
+                                  offsets = each term's first-hit span
+                                  (token texts are \\b-clean, so the SQL
+                                  oracle replicates them in closed form)
+      B  (doc_id%4==0, >=1 term)  compound 't1|t1' with uids 't1|-1' — the
+                                  ungrounded-uid drop INSIDE a compound
+                                  (util.py:198-201) plus a second re-anchor
+      M  (doc_id%3==0)            4-column mention-shaped line — malformed
+                                  counter (util.py:179-184), skip path
+      DR (doc_id%5==0, >=2 terms) exact duplicate of the first relation
+                                  line — dedup-on-insert (util.py:224-226)
+      IR (doc_id%7==0, >=1 term)  relation with unknown uid 'zzz' —
+                                  validity drop (util.py:226-227)
+
+    tests/operators/test_pipeline_ops.py asserts each injection occurs with
+    non-zero count AND that the branch visibly fired (n_malformed > 0, the
+    compound members survive re-anchored, dup/invalid relations dropped).
+
     The O(n_tokens^2) prefix-join offset walk is test-harness corpus
     synthesis only (docs here are ~50 tokens); production inputs arrive as
     pre-annotated lines via the sources/ readers.
     """
     docs = _t(spark, sf_dir, "documents")
     terms = F.array(*[F.lit(t) for t in KG_TERMS])
-    doc_id_s = F.col("doc_id").cast("string")
+    doc_id = F.col("doc_id")
+    doc_id_s = doc_id.cast("string")
     title = F.concat(F.lit("d"), doc_id_s)
     wtext = F.concat(title, F.lit(" "), F.col("text"))
     toks = F.split(wtext, " ")
@@ -561,11 +590,82 @@ def _pubtator_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+    # --- hard-branch injections (doc_id-keyed, mirrored in the oracles) ---
+    n_uniq = F.size(uniq)
+    t1, t2 = F.get(uniq, 0), F.get(uniq, 1)
+
+    def first_start(t):
+        hits = F.filter(ments, lambda s: s["tok"] == t)
+        return F.array_min(F.transform(hits, lambda s: s["start"]))
+
+    fs1 = first_start(t1)
+    fe1 = fs1 + F.length(t1)
+    fs2 = first_start(t2)
+    fe2 = fs2 + F.length(t2)
+    span_s, span_e = F.least(fs1, fs2), F.greatest(fe1, fe2)
+
+    def maybe(cond, line):
+        return F.when(cond, F.array(line)).otherwise(F.expr("array()").cast("array<string>"))
+
+    title_line = maybe(
+        doc_id % 6 == 0,
+        F.concat_ws(
+            "\t", doc_id_s, F.lit("0"), F.length(title).cast("string"), title, F.lit("TERM"), title
+        ),
+    )
+    compound_line = maybe(
+        (doc_id % 2 == 0) & (n_uniq >= 2),
+        F.concat_ws(
+            "\t",
+            doc_id_s,
+            span_s.cast("string"),
+            span_e.cast("string"),
+            F.concat_ws("|", t1, t2),
+            F.lit("TERM"),
+            F.concat_ws("|", t1, t2),
+            F.concat_ws("|", t1, t2),
+        ),
+    )
+    ungrounded_line = maybe(
+        (doc_id % 4 == 0) & (n_uniq >= 1),
+        F.concat_ws(
+            "\t",
+            doc_id_s,
+            fs1.cast("string"),
+            fe1.cast("string"),
+            F.concat_ws("|", t1, t1),
+            F.lit("TERM"),
+            F.concat_ws("|", t1, F.lit("-1")),
+        ),
+    )
+    malformed_line = maybe(
+        doc_id % 3 == 0, F.concat_ws("\t", doc_id_s, F.lit("1"), F.lit("2"), F.lit("malformed"))
+    )
+    dup_rel_line = maybe(
+        (doc_id % 5 == 0) & (n_uniq >= 2),
+        F.concat_ws("\t", doc_id_s, F.lit("COOCC"), t1, t2),
+    )
+    invalid_rel_line = maybe(
+        (doc_id % 7 == 0) & (n_uniq >= 1),
+        F.concat_ws("\t", doc_id_s, F.lit("COOCC"), F.lit("zzz"), t1),
+    )
+
+    ann = F.concat(
+        mention_lines,
+        title_line,
+        compound_line,
+        ungrounded_line,
+        malformed_line,
+        rel_lines,
+        dup_rel_line,
+        invalid_rel_line,
+    )
     return docs.select(
         doc_id_s.alias("doc_id"),
         title.alias("title"),
         F.col("text").alias("abstract"),
-        F.concat(mention_lines, rel_lines).alias("ann_lines"),
+        ann.alias("ann_lines"),
     )
 
 
@@ -599,6 +699,50 @@ def q_pubtator_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel_idx").cast("long").alias("rel_idx"),
         F.array_join("uids", ",").alias("uids"),
         "label",
+    )
+
+
+def q_pubtator_mentions_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section filter, keep-title side (util.py:188-190): only the injected
+    title-token mentions survive (terms never occur in 'd<id>' titles).
+    reanchor=False also gates the JVM-only operator config (no Arrow stage).
+    """
+    from seq2rel_ds_spark.operators.parse import mentions_table, parse_documents
+
+    parsed = parse_documents(
+        _pubtator_corpus(spark, sf_dir), text_segment="title", reanchor=False
+    )
+    return mentions_table(parsed).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "uid",
+        "label",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "seq",
+    )
+
+
+def q_pubtator_mentions_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section filter, drop-title side: the title-token injection is dropped,
+    term mentions and compound members keep their (unanchored) line spans.
+    reanchor=False because doc-level offsets into an abstract-only text are
+    coordinate-shifted for the bounded search — the re-anchor branch is
+    gated by the 'both'-segment pubtator_mentions entry instead.
+    """
+    from seq2rel_ds_spark.operators.parse import mentions_table, parse_documents
+
+    parsed = parse_documents(
+        _pubtator_corpus(spark, sf_dir), text_segment="abstract", reanchor=False
+    )
+    return mentions_table(parsed).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "uid",
+        "label",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "surface",
+        "seq",
     )
 
 
@@ -691,9 +835,13 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edge list — the canonical graph-traversal join shape (and
     the one the bucketed triple layout co-locates at scale).
 
-    Orientation doubling happens in one explode pass, and the (small,
-    aggregated) edge list is persisted so the self-join's two references
-    don't recompute the upstream mention derivation."""
+    Orientation doubling happens in one explode pass.  The edge list is NOT
+    persisted: a queries() callable returns a lazy DataFrame with no hook to
+    unpersist after consumption, and a leaked cache block would sit in
+    executor storage for the rest of the session (all 39 gate queries share
+    one SparkSession).  The self-join recomputing the small aggregated
+    upstream twice costs ~0.5s at sf0.1 — cheaper than the leak; a caller
+    that owns the lifecycle can persist/unpersist around it."""
     co = q_kg_cooccurrence(spark, sf_dir)
     und = co.select(
         F.explode(
@@ -702,7 +850,7 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("obj").alias("a"), F.col("subj").alias("b")),
             )
         ).alias("e")
-    ).select("e.a", "e.b").persist()
+    ).select("e.a", "e.b")
     x, y = und.alias("x"), und.alias("y")
     return (
         x.join(y, (F.col("x.b") == F.col("y.a")) & (F.col("x.a") < F.col("y.b")))
@@ -747,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "pubtator_mentions": q_pubtator_mentions,
+        "pubtator_mentions_title": q_pubtator_mentions_title,
+        "pubtator_mentions_abstract": q_pubtator_mentions_abstract,
         "pubtator_relations": q_pubtator_relations,
         "linearized_lines": q_linearized_lines,
         "linearized_hints": q_linearized_hints,
@@ -762,6 +912,11 @@ _KG_TERMS_SQL = ", ".join(f"'{t}'" for t in KG_TERMS)
 
 # Shared CTEs re-deriving the _pubtator_corpus working text, token offsets
 # and term hits in DuckDB (closed form of what parse_documents consumes).
+# t12 carries the two lexicographically-first distinct terms and their
+# first-hit spans — the inputs of the doc_id-keyed injections (see
+# _pubtator_corpus): compound members re-anchor to exactly these spans
+# because document tokens are \b-clean, so first \b-occurrence in the
+# compound span == global first token hit.
 _CORPUS_CTES = f"""
     w AS (
       SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) || ' ' || text AS wtext
@@ -777,7 +932,32 @@ _CORPUS_CTES = f"""
     hit AS (
       SELECT doc_id, tok, start, start + len(tok) AS fin
       FROM tk WHERE list_contains([{_KG_TERMS_SQL}], tok)
+    ),
+    fh AS (
+      SELECT doc_id, tok, min(start) AS fs, min(start) + len(tok) AS fe
+      FROM hit GROUP BY doc_id, tok
+    ),
+    t12 AS (
+      SELECT doc_id,
+             count(*) AS n_uniq,
+             (list(tok ORDER BY tok))[1] AS t1,
+             (list(tok ORDER BY tok))[2] AS t2,
+             (list(fs ORDER BY tok))[1] AS fs1,
+             (list(fe ORDER BY tok))[1] AS fe1,
+             (list(fs ORDER BY tok))[2] AS fs2,
+             (list(fe ORDER BY tok))[2] AS fe2
+      FROM fh GROUP BY doc_id
     )
+"""
+
+# Injected title-token mention (T, doc_id%6==0): uid/surface = the title
+# itself, span [0, len(title)).
+_TITLE_MENTION_SQL = """
+      SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS uid,
+             0 AS start, len('d' || CAST(doc_id AS VARCHAR)) AS fin,
+             len('d' || CAST(doc_id AS VARCHAR)) AS line_end,
+             0 AS rnk, 0 AS member
+      FROM documents WHERE doc_id % 6 = 0
 """
 
 # Cluster info (first-appearance weight/order, linearized string) and
@@ -812,12 +992,69 @@ _LINEARIZE_CTES = f"""
     )
 """
 
+# Mention rows = real hits + injections, ordered exactly as the engine's
+# (line_end, line_idx, member_idx) composite: real lines tie-break by start
+# (token order == line order), injected lines always follow real lines at
+# the same end (appended after => larger line_idx), A precedes B.
 _PUBTATOR_MENTIONS_SQL = f"""
-    WITH {_CORPUS_CTES}
-    SELECT doc_id, tok AS uid, 'TERM' AS label, CAST(start AS BIGINT) AS start,
-           CAST(fin AS BIGINT) AS "end", tok AS surface,
-           row_number() OVER (PARTITION BY doc_id ORDER BY fin, start) - 1 AS seq
-    FROM hit
+    WITH {_CORPUS_CTES},
+    allm AS (
+      SELECT doc_id, tok AS uid, start, fin, fin AS line_end, 0 AS rnk, 0 AS member
+      FROM hit
+      UNION ALL
+      {_TITLE_MENTION_SQL}
+      UNION ALL  -- A member 1: re-anchored to t1's first hit
+      SELECT doc_id, t1, fs1, fe1, greatest(fe1, fe2), 1, 0
+      FROM t12 WHERE doc_id % 2 = 0 AND n_uniq >= 2
+      UNION ALL  -- A member 2: re-anchored to t2's first hit
+      SELECT doc_id, t2, fs2, fe2, greatest(fe1, fe2), 1, 1
+      FROM t12 WHERE doc_id % 2 = 0 AND n_uniq >= 2
+      UNION ALL  -- B grounded member (t1 of 't1|-1'): re-anchored in place
+      SELECT doc_id, t1, fs1, fe1, fe1, 2, 0
+      FROM t12 WHERE doc_id % 4 = 0 AND n_uniq >= 1
+    )
+    SELECT doc_id, uid, 'TERM' AS label, CAST(start AS BIGINT) AS start,
+           CAST(fin AS BIGINT) AS "end", uid AS surface,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY line_end, rnk, member, start) - 1 AS seq
+    FROM allm
+"""
+
+_PUBTATOR_MENTIONS_TITLE_SQL = f"""
+    WITH {_CORPUS_CTES},
+    allm AS (
+      {_TITLE_MENTION_SQL}
+    )
+    SELECT doc_id, uid, 'TERM' AS label, CAST(start AS BIGINT) AS start,
+           CAST(fin AS BIGINT) AS "end", uid AS surface,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY line_end, rnk, member, start) - 1 AS seq
+    FROM allm
+"""
+
+# Abstract segment, reanchor=False: T dropped, compound members keep their
+# raw line spans.
+_PUBTATOR_MENTIONS_ABSTRACT_SQL = f"""
+    WITH {_CORPUS_CTES},
+    allm AS (
+      SELECT doc_id, tok AS uid, start, fin, fin AS line_end, 0 AS rnk, 0 AS member
+      FROM hit
+      UNION ALL
+      SELECT doc_id, t1, least(fs1, fs2), greatest(fe1, fe2), greatest(fe1, fe2), 1, 0
+      FROM t12 WHERE doc_id % 2 = 0 AND n_uniq >= 2
+      UNION ALL
+      SELECT doc_id, t2, least(fs1, fs2), greatest(fe1, fe2), greatest(fe1, fe2), 1, 1
+      FROM t12 WHERE doc_id % 2 = 0 AND n_uniq >= 2
+      UNION ALL
+      SELECT doc_id, t1, fs1, fe1, fe1, 2, 0
+      FROM t12 WHERE doc_id % 4 = 0 AND n_uniq >= 1
+    )
+    SELECT allm.doc_id AS doc_id, uid, 'TERM' AS label, CAST(start AS BIGINT) AS start,
+           CAST(fin AS BIGINT) AS "end", uid AS surface,
+           row_number() OVER (PARTITION BY allm.doc_id
+                              ORDER BY line_end, rnk, member, start) - 1 AS seq
+    FROM allm JOIN documents d ON allm.doc_id = d.doc_id
+    WHERE d.text <> ''
 """
 
 _PUBTATOR_RELATIONS_SQL = f"""
@@ -840,9 +1077,19 @@ _LINEARIZED_LINES_SQL = f"""
 
 _LINEARIZED_HINTS_SQL = f"""
     WITH {_LINEARIZE_CTES},
+    clih AS (
+      SELECT doc_id, cstr, wgt, idx FROM cli
+      UNION ALL
+      -- injected title cluster (T, doc_id%6==0): first appearance (end =
+      -- len(title) < every term hit) => idx before all terms; weight =
+      -- 0 + len(title) < any term weight, so it leads the hint string
+      SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) || ' @TERM@' AS cstr,
+             len('d' || CAST(doc_id AS VARCHAR)) AS wgt, -1 AS idx
+      FROM documents WHERE doc_id % 6 = 0
+    ),
     hs AS (
       SELECT doc_id, string_agg(cstr, ' ' ORDER BY wgt, idx) AS hint
-      FROM cli GROUP BY doc_id
+      FROM clih GROUP BY doc_id
     )
     SELECT w.doc_id AS doc_id,
            md5(CASE WHEN hs.hint IS NULL
@@ -1186,17 +1433,28 @@ def oracle_sql() -> dict[str, str]:
                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
                      ' from 10.0.' || (doc_id % 256) || '.7' AS t
               FROM documents
+            ),
+            -- counts mirror the engine: each rule counted on the
+            -- progressively-redacted text (no double count for overlaps)
+            steps AS (
+              SELECT doc_id, t AS t0,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+              FROM pii
+            ),
+            steps2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+              FROM steps
             )
             SELECT doc_id,
-                   md5(regexp_replace(regexp_replace(regexp_replace(t,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                       '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                   md5(regexp_replace(t2,
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5,
-                   (len(string_split_regex(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1)
-                   + (len(string_split_regex(t, '\b\d{3}-\d{3}-\d{4}\b')) - 1)
-                   + (len(string_split_regex(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1)
+                   (len(string_split_regex(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1)
+                   + (len(string_split_regex(t1, '\b\d{3}-\d{3}-\d{4}\b')) - 1)
+                   + (len(string_split_regex(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) - 1)
                    AS n_redactions
-            FROM pii
+            FROM steps2
         """,
         "doc_fp_roll": _FP_ROLL_SQL,
         "cc_components": _CC_COMPONENTS_SQL,
@@ -1450,6 +1708,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "pubtator_mentions": _PUBTATOR_MENTIONS_SQL,
+        "pubtator_mentions_title": _PUBTATOR_MENTIONS_TITLE_SQL,
+        "pubtator_mentions_abstract": _PUBTATOR_MENTIONS_ABSTRACT_SQL,
         "pubtator_relations": _PUBTATOR_RELATIONS_SQL,
         "linearized_lines": _LINEARIZED_LINES_SQL,
         "linearized_hints": _LINEARIZED_HINTS_SQL,

@@ -46,8 +46,7 @@ def cmd_cdr(args: argparse.Namespace) -> dict:
         combine_train_valid=args.combine_train_valid,
         sort_rels=not args.no_sort_rels,
     )
-    write_tsv(splits, args.output_dir)
-    return {k: v.count() for k, v in splits.items()}
+    return write_tsv(splits, args.output_dir)
 
 
 def cmd_gda(args: argparse.Namespace) -> dict:
@@ -62,8 +61,7 @@ def cmd_gda(args: argparse.Namespace) -> dict:
         hints=args.hints,
         sort_rels=not args.no_sort_rels,
     )
-    write_tsv(splits, args.output_dir)
-    return {k: v.count() for k, v in splits.items()}
+    return write_tsv(splits, args.output_dir)
 
 
 def cmd_docred(args: argparse.Namespace) -> dict:
@@ -90,8 +88,7 @@ def cmd_docred(args: argparse.Namespace) -> dict:
         hints=args.hints,
         sort_rels=not args.no_sort_rels,
     )
-    write_tsv(splits, args.output_dir)
-    return {k: v.count() for k, v in splits.items()}
+    return write_tsv(splits, args.output_dir)
 
 
 def cmd_dgm(args: argparse.Namespace) -> dict:
@@ -107,8 +104,7 @@ def cmd_dgm(args: argparse.Namespace) -> dict:
         hints=args.hints,
         sort_rels=not args.no_sort_rels,
     )
-    write_tsv(splits, args.output_dir)
-    return {k: v.count() for k, v in splits.items()}
+    return write_tsv(splits, args.output_dir)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -155,13 +155,14 @@ def with_redaction(docs: DataFrame, text_col: str = "text", rules=None) -> DataF
     column).  Adds ``redacted`` plus ``n_redactions`` (count of replaced
     spans, derived from the length delta per rule application order)."""
     rules = rules if rules is not None else REDACTION_RULES
+    # count each rule's matches on the PROGRESSIVELY-redacted text (rule k
+    # counted after rules 1..k-1 applied), so spans consumed by an earlier
+    # rule are not double-counted — e.g. the digits of a phone-shaped email
+    # local part count once, as the email they are part of; n_redactions
+    # equals the number of placeholder insertions exactly
     out = F.col(text_col)
-    for _, pat, repl in rules:
-        out = F.regexp_replace(out, pat, repl)
     n = F.lit(0)
-    for _, pat, _repl in rules:
-        # spans of this rule visible in the ORIGINAL text (rules are
-        # disjoint by construction: the placeholders contain no matchable
-        # characters for later rules)
-        n = n + F.size(F.split(F.col(text_col), pat)) - 1
+    for _, pat, repl in rules:
+        n = n + F.size(F.split(out, pat)) - 1
+        out = F.regexp_replace(out, pat, repl)
     return docs.withColumn("redacted", out).withColumn("n_redactions", n)

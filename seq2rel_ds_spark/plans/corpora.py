@@ -140,10 +140,18 @@ def preprocess_dgm(
     return out
 
 
-def write_tsv(splits: Dict[str, DataFrame], output_dir: str) -> None:
+def write_tsv(splits: Dict[str, DataFrame], output_dir: str) -> Dict[str, int]:
     """Reference-parity sink: one TSV per split (line column only).
 
     Lines already contain internal tabs, so they are written as raw text.
+    Returns per-split row counts read back from the WRITTEN files — counting
+    the output costs one cheap text scan, where counting the input DataFrame
+    would recompute the whole parse->linearize lineage a second time.
     """
+    spark = next(iter(splits.values())).sparkSession
+    counts = {}
     for name, df in splits.items():
-        df.select("line").write.mode("overwrite").text(f"{output_dir}/{name}.tsv")
+        path = f"{output_dir}/{name}.tsv"
+        df.select("line").write.mode("overwrite").text(path)
+        counts[name] = spark.read.text(path).count()
+    return counts

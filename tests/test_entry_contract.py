@@ -32,6 +32,60 @@ def test_every_query_analyzes(spark):
         assert df.columns, name
 
 
+def test_parse_gate_hard_branches_fire(spark):
+    """The gated parse corpus must exercise the hard branches, not just the
+    happy path: every injection class occurs with non-zero count in the
+    corpus, and the parse operator visibly handled each (malformed counter
+    fired, compound members landed re-anchored onto first-hit spans,
+    ungrounded/invalid uids dropped, duplicate relations deduped)."""
+    from pyspark.sql import functions as F
+
+    from seq2rel_ds_spark.operators.parse import (
+        mentions_table,
+        parse_documents,
+        relations_table,
+    )
+
+    corpus = em._pubtator_corpus(spark, SF).cache()
+    kinds = {k: 0 for k in ("compound7", "ungrounded", "malformed", "dup_rel", "invalid_rel", "title")}
+    for r in corpus.select("ann_lines").collect():
+        seen = set()
+        for ln in r["ann_lines"]:
+            c = ln.split("\t")
+            if len(c) == 7:
+                kinds["compound7"] += 1
+            if len(c) == 6 and c[5].endswith("|-1"):
+                kinds["ungrounded"] += 1
+            if len(c) == 4 and c[3] == "malformed":
+                kinds["malformed"] += 1
+            if len(c) == 4 and c[1] == "COOCC":
+                if c[2] == "zzz":
+                    kinds["invalid_rel"] += 1
+                if ln in seen:
+                    kinds["dup_rel"] += 1
+                seen.add(ln)
+            if len(c) == 6 and c[1] == "0" and c[3].startswith("d"):
+                kinds["title"] += 1
+    assert all(v > 0 for v in kinds.values()), kinds
+
+    parsed = parse_documents(corpus).cache()
+    assert (parsed.agg(F.sum("n_malformed")).first()[0] or 0) > 0
+    m = mentions_table(parsed)
+    # re-anchored compound members coincide with the first real hit -> the
+    # mention multiset contains duplicated (uid, span) member rows
+    assert (
+        m.groupBy("doc_id", "uid", "start", "end").count().filter("count > 1").count() > 0
+    )
+    assert m.filter(F.col("uid") == "-1").count() == 0
+    rels = relations_table(parsed)
+    assert rels.filter(F.array_contains("uids", "zzz")).count() == 0
+    assert (
+        rels.groupBy("doc_id", "uids", "label").count().filter("count > 1").count() == 0
+    )
+    corpus.unpersist()
+    parsed.unpersist()
+
+
 def test_every_oracle_binds_in_duckdb():
     con = duckdb.connect()
     for t in TABLES:
