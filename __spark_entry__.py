@@ -702,6 +702,113 @@ def q_pubtator_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CDR hypernym-filter gate (reference cdr.py:47-93): a labeled variant of
+# the corpus — CHEM/DISO term labels, md5-selected positive CID relations —
+# plus a literal MeSH-like tree table with genuine ancestor chains.
+_CHEM_TERMS = ["filter", "hash", "join", "merge"]
+_DISO_TERMS = ["spark", "stream", "table", "window"]
+# ancestor chains: spark < stream (D01 < D01.05), spark < table
+# (D02.03 < D02.03.01), stream < table (D01.05 < D01.05.02)
+_MESH_TREES = [
+    ("spark", "D01"),
+    ("spark", "D02.03"),
+    ("stream", "D01.05"),
+    ("table", "D02.03.01"),
+    ("table", "D01.05.02"),
+    ("window", "D04.10"),
+]
+
+
+def _hypernym_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PubTator-shaped corpus with CHEM/DISO mention labels and positive CID
+    relation lines selected by an engine-portable md5 rule (~50% of the
+    per-doc chem x diso pairs), feeding the REAL parse -> filter_hypernyms
+    stack; the DuckDB oracle recomputes negatives + the tree-substring
+    θ-join in plain SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    chem_terms = F.array(*[F.lit(t) for t in _CHEM_TERMS])
+    diso_terms = F.array(*[F.lit(t) for t in _DISO_TERMS])
+    doc_id_s = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("d"), doc_id_s)
+    wtext = F.concat(title, F.lit(" "), F.col("text"))
+    toks = F.split(wtext, " ")
+    ments = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                F.when(i == F.lit(0), F.lit(0))
+                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
+                .alias("start"),
+                t.alias("tok"),
+            ),
+        ),
+        lambda s: F.array_contains(terms, s["tok"]),
+    )
+    mention_lines = F.transform(
+        ments,
+        lambda s: F.concat_ws(
+            "\t",
+            doc_id_s,
+            s["start"].cast("string"),
+            (s["start"] + F.length(s["tok"])).cast("string"),
+            s["tok"],
+            F.when(F.array_contains(chem_terms, s["tok"]), F.lit("CHEM")).otherwise(
+                F.lit("DISO")
+            ),
+            s["tok"],
+        ),
+    )
+    uniq = F.array_sort(F.array_distinct(F.transform(ments, lambda s: s["tok"])))
+    chems = F.filter(uniq, lambda t: F.array_contains(chem_terms, t))
+    disos = F.filter(uniq, lambda t: F.array_contains(diso_terms, t))
+    pairs = F.flatten(
+        F.transform(
+            chems,
+            lambda c: F.transform(disos, lambda d: F.struct(c.alias("c"), d.alias("d"))),
+        )
+    )
+    pos = F.filter(
+        pairs,
+        lambda p: F.substring(
+            F.md5(F.concat_ws(":", doc_id_s, p["c"], p["d"])), 1, 1
+        )
+        <= "7",
+    )
+    rel_lines = F.transform(
+        pos, lambda p: F.concat_ws("\t", doc_id_s, F.lit("CID"), p["c"], p["d"])
+    )
+    return docs.select(
+        doc_id_s.alias("doc_id"),
+        title.alias("title"),
+        F.col("text").alias("abstract"),
+        F.concat(mention_lines, rel_lines).alias("ann_lines"),
+    )
+
+
+def q_hypernym_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real hypernym filter (operators/hypernym.py:filter_hypernyms,
+    reference cdr.py:47-93) over the labeled corpus: per-doc chem x diso
+    negatives, MeSH tree-number substring θ-join, schema labels INFERRED
+    from the first relation-bearing document (cdr.py:55-61)."""
+    from seq2rel_ds_spark.operators.hypernym import filter_hypernyms
+    from seq2rel_ds_spark.operators.parse import parse_documents
+
+    parsed = parse_documents(_hypernym_corpus(spark, sf_dir), reanchor=False)
+    mesh = spark.createDataFrame(_MESH_TREES, "uid string, tree string")
+    out = filter_hypernyms(parsed, mesh)
+    fr = out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("filtered_relations").alias("fr"),
+    )
+    return fr.select(
+        "doc_id",
+        F.get(F.col("fr.uids"), 0).alias("chem"),
+        F.get(F.col("fr.uids"), 1).alias("diso"),
+        F.col("fr.label").alias("label"),
+    )
+
+
 def q_pubtator_mentions_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Section filter, keep-title side (util.py:188-190): only the injected
     title-token mentions survive (terms never occur in 'd<id>' titles).
@@ -743,6 +850,107 @@ def q_pubtator_mentions_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end").cast("long").alias("end"),
         "surface",
         "seq",
+    )
+
+
+_DOCRED_SENT_TOKENS = 10
+_DOCRED_REL_LABELS = {"P1": "co occurs"}
+
+
+def _docred_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocRED-shaped examples derived from the documents table: sentences of
+    10 tokens, one vertex per distinct KG term (sorted; all occurrences as
+    mentions with per-sentence token spans), one 'P1' label per lexicographic
+    term pair.  Feeds the REAL sources/docred.py converter, whose prefix-sum
+    offset lift reconstructs exactly the global token index — the closed form
+    the DuckDB oracle recomputes."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    toks = F.split(F.col("text"), " ")
+    k = F.lit(_DOCRED_SENT_TOKENS)
+    n_sents = F.ceil(F.size(toks) / k).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_sents - 1), lambda s: F.slice(toks, s * k + 1, k)
+    )
+    occ = F.filter(
+        F.transform(toks, lambda t, i: F.struct(i.alias("idx"), t.alias("tok"))),
+        lambda s: F.array_contains(terms, s["tok"]),
+    )
+    uniq = F.array_sort(F.array_distinct(F.transform(occ, lambda s: s["tok"])))
+    vertex_set = F.transform(
+        uniq,
+        lambda u: F.transform(
+            F.filter(occ, lambda s: s["tok"] == u),
+            lambda s: F.struct(
+                (s["idx"] / k).cast("int").alias("sent_id"),
+                F.array(s["idx"] % k, s["idx"] % k + 1).alias("pos"),
+                s["tok"].alias("name"),
+                F.lit("TERM").alias("type"),
+            ),
+        ),
+    )
+    labels = F.flatten(
+        F.transform(
+            uniq,
+            lambda a, i: F.transform(
+                F.slice(uniq, i + 2, F.greatest(F.size(uniq) - i - 1, F.lit(0))),
+                lambda b, j: F.struct(
+                    i.cast("long").alias("h"),
+                    F.lit("P1").alias("r"),
+                    (i + j + 1).cast("long").alias("t"),
+                ),
+            ),
+        )
+    )
+    return docs.select(
+        sents.alias("sents"), vertex_set.alias("vertexSet"), labels.alias("labels")
+    )
+
+
+def q_docred_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DocRED path: the real converter (sources/docred.py:47,
+    reference docred.py:34-68 — token-offset prefix sums, verbose label
+    mapping) -> parse (abstract segment, empty title) -> linearize.  Output
+    is the per-doc line md5 only: the converter's surrogate doc id
+    (file/row order) never appears in output text, and the md5 multiset is
+    order-free."""
+    from seq2rel_ds_spark.operators.linearize import linearize
+    from seq2rel_ds_spark.operators.parse import parse_documents
+    from seq2rel_ds_spark.sources.docred import docred_documents
+
+    examples = _docred_examples(spark, sf_dir)
+    docs = docred_documents(examples, _DOCRED_REL_LABELS)
+    parsed = parse_documents(docs, text_segment="abstract", reanchor=False)
+    return linearize(parsed).select(F.md5("line").alias("line_md5"))
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Externally audits the html->text byte-identity invariant (input_hint):
+    html is synthesized in Catalyst around each document's text — nested
+    tags, newlines between tags, '&amp;'/'&lt;'/'&nbsp;' entities — and run
+    through the REAL extractor (operators/extract.py:extract_stage); the
+    oracle states the expected extracted text in closed form, so any
+    whitespace/entity/tag regression breaks the md5."""
+    from seq2rel_ds_spark.operators.extract import extract_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+    html_s = F.concat(
+        F.lit("<html>\n <head><title>Doc &amp; "),
+        doc_id_s,
+        F.lit("</title></head>\n<body><p>"),
+        F.col("text"),
+        F.lit("</p>\n<p>tail&nbsp;&lt;x&gt;</p></body></html>"),
+    )
+    pages = docs.select(
+        doc_id_s.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.encode(html_s, "utf-8").alias("html"),
+    )
+    extracted = extract_stage(pages)
+    return extracted.select(
+        F.col("url").cast("long").alias("doc_id"), F.md5("text").alias("text_md5")
     )
 
 
@@ -894,10 +1102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "hypernym_filtered": q_hypernym_filtered,
         "pubtator_mentions": q_pubtator_mentions,
         "pubtator_mentions_title": q_pubtator_mentions_title,
         "pubtator_mentions_abstract": q_pubtator_mentions_abstract,
         "pubtator_relations": q_pubtator_relations,
+        "docred_lines": q_docred_lines,
+        "extract_text": q_extract_text,
         "linearized_lines": q_linearized_lines,
         "linearized_hints": q_linearized_hints,
         "kg_mentions": q_kg_mentions,
@@ -1054,6 +1265,69 @@ _PUBTATOR_MENTIONS_ABSTRACT_SQL = f"""
            row_number() OVER (PARTITION BY allm.doc_id
                               ORDER BY line_end, rnk, member, start) - 1 AS seq
     FROM allm JOIN documents d ON allm.doc_id = d.doc_id
+    WHERE d.text <> ''
+"""
+
+_MESH_TREES_SQL = ", ".join(f"('{u}', '{t}')" for u, t in _MESH_TREES)
+_CHEM_IN = ", ".join(f"'{t}'" for t in _CHEM_TERMS)
+_DISO_IN = ", ".join(f"'{t}'" for t in _DISO_TERMS)
+
+# Independent SQL recomputation of the hypernym filter: per-doc chem x diso
+# cross product, md5-rule positives, NOT-EXISTS negatives, tree-substring
+# ancestor θ-join (strpos(pos_tree, neg_tree) > 0 == reference's `neg in
+# pos`), first-occurrence-free (chem, diso) output.
+_HYPERNYM_FILTERED_SQL = f"""
+    WITH {_CORPUS_CTES},
+    u AS (SELECT DISTINCT doc_id, tok FROM hit),
+    ch AS (SELECT doc_id, tok AS chem FROM u WHERE tok IN ({_CHEM_IN})),
+    di AS (SELECT doc_id, tok AS diso FROM u WHERE tok IN ({_DISO_IN})),
+    pairs AS (SELECT ch.doc_id AS doc_id, chem, diso
+              FROM ch JOIN di ON ch.doc_id = di.doc_id),
+    pos AS (SELECT * FROM pairs
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || chem || ':' || diso), 1, 1) <= '7'),
+    neg AS (SELECT * FROM pairs pr
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.doc_id = pr.doc_id AND p.chem = pr.chem
+                                AND p.diso = pr.diso)),
+    mesh(uid, tree) AS (VALUES {_MESH_TREES_SQL}),
+    flagged AS (
+      SELECT DISTINCT n.doc_id, n.chem, n.diso
+      FROM neg n
+      JOIN mesh nm ON n.diso = nm.uid
+      JOIN pos p ON p.doc_id = n.doc_id AND p.chem = n.chem
+      JOIN mesh pm ON p.diso = pm.uid
+      WHERE strpos(pm.tree, nm.tree) > 0
+    )
+    SELECT doc_id, chem, diso, 'CID' AS label FROM flagged
+"""
+
+# DocRED converter gate: tokens -> term occurrences by GLOBAL TOKEN INDEX
+# (the converter's sentence prefix sums reconstruct exactly this), cluster
+# weight = 2*first_idx + 1, relation order = composite [w_0, sum_w, i].
+_DOCRED_LINES_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    occ AS (SELECT doc_id, idx, tok FROM tok
+            WHERE list_contains([{_KG_TERMS_SQL}], tok)),
+    cl AS (SELECT doc_id, tok, 2 * min(idx) + 1 AS wgt FROM occ GROUP BY doc_id, tok),
+    cli AS (SELECT doc_id, tok, wgt, tok || ' @TERM@' AS cstr FROM cl),
+    rel AS (
+      SELECT a.doc_id AS doc_id,
+             a.cstr || ' ' || b.cstr || ' @CO_OCCURS@' AS rstr,
+             a.wgt AS wa, a.wgt + b.wgt AS wsum,
+             row_number() OVER (PARTITION BY a.doc_id
+                                ORDER BY a.tok, b.tok) AS i
+      FROM cli a JOIN cli b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    ),
+    rs AS (
+      SELECT doc_id, string_agg(rstr, ' ' ORDER BY wa, wsum, i) AS rel_string
+      FROM rel GROUP BY doc_id
+    )
+    SELECT md5(trim(d.text) || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM documents d LEFT JOIN rs ON d.doc_id = rs.doc_id
     WHERE d.text <> ''
 """
 
@@ -1707,10 +1981,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
+        "hypernym_filtered": _HYPERNYM_FILTERED_SQL,
         "pubtator_mentions": _PUBTATOR_MENTIONS_SQL,
         "pubtator_mentions_title": _PUBTATOR_MENTIONS_TITLE_SQL,
         "pubtator_mentions_abstract": _PUBTATOR_MENTIONS_ABSTRACT_SQL,
         "pubtator_relations": _PUBTATOR_RELATIONS_SQL,
+        "docred_lines": _DOCRED_LINES_SQL,
+        # closed-form expected text: title chunk, body text, trailing chunk
+        # with entity-decoded '<x>' and the nbsp collapsed to one space
+        "extract_text": """
+            SELECT doc_id,
+                   md5('Doc & ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                       || ' tail <x>') AS text_md5
+            FROM documents
+        """,
         "linearized_lines": _LINEARIZED_LINES_SQL,
         "linearized_hints": _LINEARIZED_HINTS_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
