@@ -924,6 +924,218 @@ def q_docred_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linearize(parsed).select(F.md5("line").alias("line_md5"))
 
 
+# GDA converter gate: gene/disease halves of the term dictionary,
+# md5-selected labels; exercises the real block parsers + 3-way pmid join.
+_GDA_GENES = ["filter", "hash", "join", "merge"]
+_GDA_DISEASES = ["spark", "stream", "table", "window"]
+
+
+def q_gda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GDA path (reference gda.py:40-85): abstracts/anns blocks
+    and a labels table synthesized from the documents table feed the REAL
+    block parsers (_abstract_blocks/_ann_blocks/_label_lines), the 3-way
+    inner pmid join (assemble_gda — docs without annotations or labels drop,
+    the reference's KeyError-as-inner-join semantics), then parse+linearize.
+    """
+    from seq2rel_ds_spark.operators.linearize import linearize
+    from seq2rel_ds_spark.operators.parse import parse_documents
+    from seq2rel_ds_spark.sources.gda import (
+        _abstract_blocks,
+        _ann_blocks,
+        _label_lines,
+        assemble_gda,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    gene_terms = F.array(*[F.lit(t) for t in _GDA_GENES])
+    doc_id_s = F.col("doc_id").cast("string")
+    title = F.concat(F.lit("d"), doc_id_s)
+    wtext = F.concat(title, F.lit(" "), F.col("text"))
+    toks = F.split(wtext, " ")
+    ments = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                F.when(i == F.lit(0), F.lit(0))
+                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
+                .alias("start"),
+                t.alias("tok"),
+            ),
+        ),
+        lambda s: F.array_contains(terms, s["tok"]),
+    )
+    mention_lines = F.transform(
+        ments,
+        lambda s: F.concat_ws(
+            "\t",
+            doc_id_s,
+            s["start"].cast("string"),
+            (s["start"] + F.length(s["tok"])).cast("string"),
+            s["tok"],
+            F.when(F.array_contains(gene_terms, s["tok"]), F.lit("GENE")).otherwise(
+                F.lit("DISEASE")
+            ),
+            s["tok"],
+        ),
+    )
+    abstracts = _abstract_blocks(
+        docs.select(F.concat_ws("\n", doc_id_s, title, F.col("text")).alias("value"))
+    )
+    anns = _ann_blocks(
+        docs.select(F.array_join(mention_lines, "\n").alias("value")).filter(
+            F.size(ments) > 0
+        )
+    )
+    uniq = F.array_sort(F.array_distinct(F.transform(ments, lambda s: s["tok"])))
+    genes = F.filter(uniq, lambda t: F.array_contains(gene_terms, t))
+    dis = F.filter(uniq, lambda t: ~F.array_contains(gene_terms, t))
+    pairs = F.flatten(
+        F.transform(
+            genes, lambda g: F.transform(dis, lambda d: F.struct(g.alias("g"), d.alias("d")))
+        )
+    )
+    sel = F.filter(
+        pairs,
+        lambda p: F.substring(F.md5(F.concat_ws(":", doc_id_s, p["g"], p["d"])), 1, 1)
+        <= "7",
+    )
+    label_rows = docs.select(doc_id_s.alias("pmid"), F.explode(sel).alias("p")).select(
+        "pmid",
+        F.col("p.g").alias("geneId"),
+        F.col("p.d").alias("diseaseId"),
+        F.lit("1").alias("label"),
+    )
+    gda_docs = assemble_gda(abstracts, anns, _label_lines(label_rows))
+    parsed = parse_documents(gda_docs, reanchor=False)
+    return linearize(parsed).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.md5("line").alias("line_md5")
+    )
+
+
+# DGM converter gate: 3-ary (drug, gene, variant) relations over term
+# categories; exercises the token->char findall alignment (all occurrences)
+# and the n-ary relation sort key [w_{n-2}..w_0, sum, i].
+_DGM_DRUGS = ["filter", "hash"]
+_DGM_GENES = ["join", "merge", "spark"]
+_DGM_VARIANTS = ["stream", "table", "window"]
+_DGM_PARA_TOKENS = 20
+
+
+def _dgm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DGM-shaped examples from the documents table: paragraphs of 20
+    tokens; ONE mention struct per distinct term (at its first occurrence's
+    paragraph-local token span) — the converter's findall alignment then
+    re-emits every occurrence; triple_candidates = all (drug, gene, variant)
+    category combos with an md5-selected label (0 labels exercise the
+    candidate filter; docs lacking a category have no candidates and drop).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    drug_terms = F.array(*[F.lit(t) for t in _DGM_DRUGS])
+    gene_terms = F.array(*[F.lit(t) for t in _DGM_GENES])
+    doc_id_s = F.col("doc_id").cast("string")
+    toks = F.split(F.col("text"), " ")
+    k = F.lit(_DGM_PARA_TOKENS)
+    n_paras = F.ceil(F.size(toks) / k).cast("int")
+    paragraphs = F.transform(
+        F.sequence(F.lit(0), n_paras - 1), lambda p: F.slice(toks, p * k + 1, k)
+    )
+    occ = F.filter(
+        F.transform(toks, lambda t, i: F.struct(i.alias("idx"), t.alias("tok"))),
+        lambda s: F.array_contains(terms, s["tok"]),
+    )
+    uniq = F.array_sort(F.array_distinct(F.transform(occ, lambda s: s["tok"])))
+
+    def category(t):
+        return (
+            F.when(F.array_contains(drug_terms, t), F.lit("DRUG"))
+            .when(F.array_contains(gene_terms, t), F.lit("GENE"))
+            .otherwise(F.lit("VARIANT"))
+        )
+
+    def first_idx(t):
+        return F.array_min(
+            F.transform(F.filter(occ, lambda s: s["tok"] == t), lambda s: s["idx"])
+        )
+
+    firsts = F.transform(
+        uniq,
+        lambda t: F.struct(
+            t.alias("name"), first_idx(t).alias("fi"), category(t).alias("type")
+        ),
+    )
+    mentions = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda p: F.transform(
+            F.filter(firsts, lambda s: (s["fi"] / k).cast("int") == p),
+            lambda s: F.struct(
+                (s["fi"] % k).cast("long").alias("start"),
+                (s["fi"] % k + 1).cast("long").alias("end"),
+                s["type"].alias("type"),
+                s["name"].alias("name"),
+            ),
+        ),
+    )
+    drugs = F.filter(uniq, lambda t: F.array_contains(drug_terms, t))
+    genes = F.filter(uniq, lambda t: F.array_contains(gene_terms, t))
+    variants = F.filter(
+        uniq,
+        lambda t: ~F.array_contains(drug_terms, t) & ~F.array_contains(gene_terms, t),
+    )
+    cands = F.flatten(
+        F.flatten(
+            F.transform(
+                drugs,
+                lambda d: F.transform(
+                    genes,
+                    lambda g: F.transform(
+                        variants,
+                        lambda v: F.struct(
+                            d.alias("drug"),
+                            g.alias("gene"),
+                            v.alias("variant"),
+                            F.when(
+                                F.substring(
+                                    F.md5(F.concat_ws(":", doc_id_s, d, g, v)), 1, 1
+                                )
+                                <= "7",
+                                F.lit(1),
+                            )
+                            .otherwise(F.lit(0))
+                            .cast("long")
+                            .alias("label"),
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    return docs.select(
+        doc_id_s.alias("pmid"),
+        paragraphs.alias("paragraphs"),
+        mentions.alias("mentions"),
+        cands.alias("triple_candidates"),
+    )
+
+
+def q_dgm_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DGM path (reference dgm.py:15-65,135-147): the real
+    converter's overlapping-findall token->char alignment (one mention line
+    per occurrence), label-0 candidate filter, empty-candidate example drop,
+    3-ary relations through parse (abstract segment) + linearize (n-ary
+    composite sort key)."""
+    from seq2rel_ds_spark.operators.linearize import linearize
+    from seq2rel_ds_spark.operators.parse import parse_documents
+    from seq2rel_ds_spark.sources.dgm import dgm_documents
+
+    docs = dgm_documents(_dgm_examples(spark, sf_dir))
+    parsed = parse_documents(docs, text_segment="abstract", reanchor=False)
+    return linearize(parsed).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.md5("line").alias("line_md5")
+    )
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Externally audits the html->text byte-identity invariant (input_hint):
     html is synthesized in Catalyst around each document's text — nested
@@ -1108,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtator_mentions_abstract": q_pubtator_mentions_abstract,
         "pubtator_relations": q_pubtator_relations,
         "docred_lines": q_docred_lines,
+        "gda_lines": q_gda_lines,
+        "dgm_lines": q_dgm_lines,
         "extract_text": q_extract_text,
         "linearized_lines": q_linearized_lines,
         "linearized_hints": q_linearized_hints,
@@ -1329,6 +1543,105 @@ _DOCRED_LINES_SQL = f"""
     SELECT md5(trim(d.text) || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
     FROM documents d LEFT JOIN rs ON d.doc_id = rs.doc_id
     WHERE d.text <> ''
+"""
+
+_GDA_GENE_IN = ", ".join(f"'{t}'" for t in _GDA_GENES)
+_GDA_DIS_IN = ", ".join(f"'{t}'" for t in _GDA_DISEASES)
+
+# GDA lines: docs survive the 3-way inner join iff they have >=1 annotation
+# AND >=1 md5-selected (gene, disease) label; relation order = label-file
+# order (sorted pairs), linearize key [w_0, sum_w, i].
+_GDA_LINES_SQL = f"""
+    WITH {_CORPUS_CTES},
+    u AS (SELECT DISTINCT doc_id, tok FROM hit),
+    gd AS (
+      SELECT g.doc_id AS doc_id, g.tok AS gene, d.tok AS dis
+      FROM u g JOIN u d ON g.doc_id = d.doc_id
+      WHERE g.tok IN ({_GDA_GENE_IN}) AND d.tok IN ({_GDA_DIS_IN})
+        AND substr(md5(CAST(g.doc_id AS VARCHAR) || ':' || g.tok || ':' || d.tok), 1, 1) <= '7'
+    ),
+    dsel AS (SELECT DISTINCT doc_id FROM gd),
+    cl AS (SELECT doc_id, tok, 2 * min(start) + len(tok) AS wgt
+           FROM hit GROUP BY doc_id, tok),
+    cli AS (SELECT doc_id, tok, wgt,
+            tok || CASE WHEN tok IN ({_GDA_GENE_IN})
+                        THEN ' @GENE@' ELSE ' @DISEASE@' END AS cstr
+            FROM cl),
+    rel AS (
+      SELECT gd.doc_id AS doc_id,
+             cg.cstr || ' ' || cd.cstr || ' @GDA@' AS rstr,
+             cg.wgt AS wa, cg.wgt + cd.wgt AS wsum,
+             row_number() OVER (PARTITION BY gd.doc_id ORDER BY gd.gene, gd.dis) AS i
+      FROM gd
+      JOIN cli cg ON gd.doc_id = cg.doc_id AND gd.gene = cg.tok
+      JOIN cli cd ON gd.doc_id = cd.doc_id AND gd.dis = cd.tok
+    ),
+    rs AS (SELECT doc_id, string_agg(rstr, ' ' ORDER BY wa, wsum, i) AS rel_string
+           FROM rel GROUP BY doc_id)
+    SELECT w.doc_id AS doc_id,
+           md5(trim(w.wtext) || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM w JOIN dsel ON w.doc_id = dsel.doc_id
+    LEFT JOIN rs ON w.doc_id = rs.doc_id
+"""
+
+_DGM_DRUG_IN = ", ".join(f"'{t}'" for t in _DGM_DRUGS)
+_DGM_GENE_IN = ", ".join(f"'{t}'" for t in _DGM_GENES)
+_DGM_VAR_IN = ", ".join(f"'{t}'" for t in _DGM_VARIANTS)
+
+# DGM lines: char-offset hits over TEXT (title empty), examples kept iff
+# every category present, relations = md5-selected (drug, gene, variant)
+# candidates, 3-ary linearize key [w_1(gene), w_0(drug), sum_w, i].
+_DGM_LINES_SQL = f"""
+    WITH tkd AS (
+      SELECT doc_id, i, toks[i] AS tok,
+             CASE WHEN i = 1 THEN 0
+                  ELSE len(array_to_string(toks[1:i-1], ' ')) + 1 END AS start
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    hd AS (SELECT doc_id, tok, start FROM tkd
+           WHERE list_contains([{_KG_TERMS_SQL}], tok)),
+    cl AS (SELECT doc_id, tok, 2 * min(start) + len(tok) AS wgt
+           FROM hd GROUP BY doc_id, tok),
+    cli AS (SELECT doc_id, tok, wgt,
+            tok || CASE WHEN tok IN ({_DGM_DRUG_IN}) THEN ' @DRUG@'
+                        WHEN tok IN ({_DGM_GENE_IN}) THEN ' @GENE@'
+                        ELSE ' @VARIANT@' END AS cstr
+            FROM cl),
+    dsel AS (
+      SELECT doc_id FROM cl GROUP BY doc_id
+      HAVING count(CASE WHEN tok IN ({_DGM_DRUG_IN}) THEN 1 END) > 0
+         AND count(CASE WHEN tok IN ({_DGM_GENE_IN}) THEN 1 END) > 0
+         AND count(CASE WHEN tok IN ({_DGM_VAR_IN}) THEN 1 END) > 0
+    ),
+    sel AS (
+      SELECT d.doc_id AS doc_id, d.tok AS drug, g.tok AS gene, v.tok AS var
+      FROM cl d
+      JOIN cl g ON d.doc_id = g.doc_id
+      JOIN cl v ON d.doc_id = v.doc_id
+      WHERE d.tok IN ({_DGM_DRUG_IN}) AND g.tok IN ({_DGM_GENE_IN})
+        AND v.tok IN ({_DGM_VAR_IN})
+        AND substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.tok || ':'
+                       || g.tok || ':' || v.tok), 1, 1) <= '7'
+    ),
+    rel AS (
+      SELECT sel.doc_id AS doc_id,
+             cd.cstr || ' ' || cg.cstr || ' ' || cv.cstr || ' @DGM@' AS rstr,
+             cg.wgt AS w1, cd.wgt AS w0, cd.wgt + cg.wgt + cv.wgt AS wsum,
+             row_number() OVER (PARTITION BY sel.doc_id
+                                ORDER BY sel.drug, sel.gene, sel.var) AS i
+      FROM sel
+      JOIN cli cd ON sel.doc_id = cd.doc_id AND sel.drug = cd.tok
+      JOIN cli cg ON sel.doc_id = cg.doc_id AND sel.gene = cg.tok
+      JOIN cli cv ON sel.doc_id = cv.doc_id AND sel.var = cv.tok
+    ),
+    rs AS (SELECT doc_id, string_agg(rstr, ' ' ORDER BY w1, w0, wsum, i) AS rel_string
+           FROM rel GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           md5(trim(d.text) || chr(9) || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM documents d
+    JOIN dsel ON d.doc_id = dsel.doc_id
+    LEFT JOIN rs ON d.doc_id = rs.doc_id
 """
 
 _PUBTATOR_RELATIONS_SQL = f"""
@@ -1987,6 +2300,8 @@ def oracle_sql() -> dict[str, str]:
         "pubtator_mentions_abstract": _PUBTATOR_MENTIONS_ABSTRACT_SQL,
         "pubtator_relations": _PUBTATOR_RELATIONS_SQL,
         "docred_lines": _DOCRED_LINES_SQL,
+        "gda_lines": _GDA_LINES_SQL,
+        "dgm_lines": _DGM_LINES_SQL,
         # closed-form expected text: title chunk, body text, trailing chunk
         # with entity-decoded '<x>' and the nbsp collapsed to one space
         "extract_text": """

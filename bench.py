@@ -131,16 +131,25 @@ def kg_child(cores: int, pages_path: str) -> None:
         # partitions and cap parallelism) and bigger Arrow batches to cut
         # JVM<->Python IPC round trips — measured: 16m+40k beats 8m+10k ~30%
         extra_conf={
-            # fine-grained splits: the python-heavy scan must run many waves
-            # of short tasks, not 2 waves of long ones — with coarse splits a
-            # single straggler task idles half the cores for half the job
-            # (observed 22-36s swings on an otherwise quiet box)
+            # split granularity: many waves of short tasks absorb stragglers
+            # (2-wave-coarse splits cost 22-36s swings at 32 cores), but too
+            # fine costs per-task overhead — 8m (~750 tasks, ~23 waves at 32
+            # cores) measured fastest at BOTH levels (vs 2m: 8-core leg
+            # 28.0-29.4s vs 31.7-32.1s; 32-core equal-or-better)
             "spark.sql.files.maxPartitionBytes": os.environ.get(
-                "SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
             ),
             "spark.sql.files.openCostInBytes": "0",
+            # 20k measured best at BOTH levels (sweep: 32-core 11.7-13.8s vs
+            # 15.8s at 40k; 8-core 32.1s vs 36.9s) — smaller Arrow batches
+            # bound allocation bursts in the shared local-mode JVM
             "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
-                "SPARK_GRAFT_ARROW_BATCH", "40000"
+                "SPARK_GRAFT_ARROW_BATCH", "20000"
+            ),
+            **(
+                {"spark.driver.extraJavaOptions": os.environ["SPARK_GRAFT_DRIVER_JAVA_OPTS"]}
+                if os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+                else {}
             ),
         },
     )
@@ -195,6 +204,81 @@ def _hw_ceiling(cores_low: int, cores_high: int) -> float:
 
     t_low = per_core_time(cores_low)
     t_high = per_core_time(cores_high)
+    return round(t_low / t_high, 3) if t_high else 1.0
+
+
+def _kernel_worker(n_docs: int, q) -> None:
+    """One pinned process running the flagship's pure-Python per-doc kernel
+    (extract -> scan -> link -> select) with zero engine around it."""
+    import re as _re
+
+    from seq2rel_ds_spark.core.link import (
+        build_dictionary,
+        link_doc_mentions,
+        select_relations,
+    )
+    from seq2rel_ds_spark.operators.extract import extract_text_from_html
+    from seq2rel_ds_spark.operators.mention import _compile_dictionary, _scan_doc
+    from seq2rel_ds_spark.sources.pages import (
+        PREDICATES,
+        _compose_doc,
+        _render_html,
+        knowledge_base,
+    )
+
+    entities, _ = knowledge_base()
+    dict_rows = [
+        (s, e["uid"], e["label"], i == 0) for e in entities for i, s in enumerate(e["surfaces"])
+    ]
+    dictionary = build_dictionary(dict_rows)
+    pat = _compile_dictionary(list(dictionary), ascii_boundaries=True)
+    preds = PREDICATES
+    cue_pat = _re.compile(
+        r"\b(" + "|".join(_re.escape(w) for w in sorted(preds)) + r")\b", _re.ASCII
+    )
+    docs = [_render_html(*_compose_doc(i, entities)[:2]) for i in range(5000)]
+    t0 = time.time()
+    done = 0
+    while done < n_docs:
+        for h in docs:
+            text = extract_text_from_html(bytes(h))
+            rm, rc = _scan_doc(text, pat, cue_pat)
+            mentions = [(si, s, e, tok) for si, _ss, s, e, tok in rm]
+            cues = [(si, s, preds[w]) for si, _ss, s, _e, w in rc]
+            select_relations(link_doc_mentions(mentions, dictionary), cues)
+        done += len(docs)
+    q.put(time.time() - t0)
+
+
+def _kernel_ceiling(cores_low: int, cores_high: int, docs_per_proc: int = 30000) -> float:
+    """Workload-realistic scaling ceiling: the flagship's per-doc kernel as
+    plain pinned processes — no Spark, no JVM, no IPC.  An engine can at
+    best match this ratio, so it bounds achievable raw scaling efficiency
+    more honestly than the ALU busy-loop (which ignores memory/allocator
+    contention; measured gap up to 0.86 ALU vs 0.62 kernel in one window).
+    Caveat measured on this VM: BOTH probes swing +-0.15 between minutes
+    with co-tenant load — single-shot values contextualize, they don't
+    calibrate; the paired-run methodology is what controls for noise.
+    """
+    import multiprocessing as mp
+    import os as _os
+
+    def level(n_procs: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_kernel_worker, args=(docs_per_proc, q)) for _ in range(n_procs)]
+        for i, p in enumerate(ps):
+            p.start()
+            try:
+                _os.sched_setaffinity(p.pid, {i})
+            except OSError:
+                pass
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return sum(times) / len(times)
+
+    t_low = level(cores_low)
+    t_high = level(cores_high)
     return round(t_low / t_high, 3) if t_high else 1.0
 
 
@@ -307,6 +391,7 @@ def main() -> None:
     # legs/generation under residual load biases them and breaks the
     # contamination test (probe ratios < 1 in the record = late calibration)
     ceiling = _hw_ceiling(cores_low, cpus)
+    kernel_ceiling = _kernel_ceiling(cores_low, cpus)
     probe_calib = min(_busy_probe(), _busy_probe())
 
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
@@ -327,7 +412,7 @@ def main() -> None:
     # 0.78-0.95 of the hardware ceiling).  A pair is CLEAN when both legs
     # pass the steal%%/probe gates; the recorded scaling_efficiency is the
     # best clean pair, with the median clean pair and all raw runs reported.
-    target_pairs = int(os.environ.get("SPARK_GRAFT_KG_PAIRS", "3"))
+    target_pairs = int(os.environ.get("SPARK_GRAFT_KG_PAIRS", "6"))
     kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "400"))
     kg_t0 = time.time()
     ratio = cpus / cores_low
@@ -339,6 +424,7 @@ def main() -> None:
 
     try:
         pairs = []  # [{"lo": run, "hi": run, "efficiency": f, "clean": bool}]
+        lo_runs, hi_runs = [], []  # every completed leg, paired or not
         rounds = 0
         while rounds < target_pairs + 5:
             clean_pairs = [p for p in pairs if p["clean"]]
@@ -356,9 +442,16 @@ def main() -> None:
             # leg to more noise
             order = [cores_low, cpus] if rounds % 2 == 0 else [cpus, cores_low]
             legs = {}
-            for cores in order:
+            for leg_idx, cores in enumerate(order):
                 _wait_for_quiet(probe_calib, quiet_deadline)
-                legs[cores] = _measured_kg(cores, pages_path, probe_calib)
+                r = _measured_kg(cores, pages_path, probe_calib)
+                legs[cores] = r
+                if r is not None:
+                    (lo_runs if cores == cores_low else hi_runs).append(r)
+                # a contaminated FIRST leg already makes the pair dirty —
+                # skip the second leg and spend the budget on a fresh round
+                if leg_idx == 0 and (r is None or r["contaminated"]):
+                    break
             rounds += 1
             lo_r, hi_r = legs.get(cores_low), legs.get(cpus)
             if lo_r is None or hi_r is None:
@@ -371,6 +464,19 @@ def main() -> None:
                     "clean": not (lo_r["contaminated"] or hi_r["contaminated"]),
                 }
             )
+        if not pairs and lo_runs and hi_runs:
+            # every round aborted on a contaminated first leg: fall back to
+            # the fastest legs per level (cross-window — visibly flagged)
+            lo_f = min(lo_runs, key=lambda r: r["seconds"])
+            hi_f = min(hi_runs, key=lambda r: r["seconds"])
+            pairs = [
+                {
+                    "lo": lo_f,
+                    "hi": hi_f,
+                    "efficiency": round(pair_eff(lo_f, hi_f), 3),
+                    "clean": False,
+                }
+            ]
         if not pairs:
             raise RuntimeError("all kg scaling rounds timed out")
         clean_pairs = [p for p in pairs if p["clean"]]
@@ -381,8 +487,6 @@ def main() -> None:
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
         )
         lo, hi = best["lo"], best["hi"]
-        lo_runs = [p["lo"] for p in pairs]
-        hi_runs = [p["hi"] for p in pairs]
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     # throughput = emitted relation instances per second (distinct canonical
@@ -433,10 +537,17 @@ def main() -> None:
             "throughput_low": round(thr_lo, 2),
             "throughput_high": round(thr_hi, 2),
             "scaling_efficiency": round(eff, 3),
-            # single-box frequency-scaling ceiling for the low->high proxy
-            # (real N->4N clusters add machines; see BENCH.md)
+            # single-box ceilings for the low->high proxy (real N->4N
+            # clusters add machines; see BENCH.md).  hw = ALU busy-loop
+            # (frequency only); kernel = the flagship's own per-doc Python
+            # kernel as plain pinned processes (frequency + memory/allocator
+            # contention — the tighter, workload-true bound).
             "hw_efficiency_ceiling": ceiling,
+            "kernel_efficiency_ceiling": kernel_ceiling,
             "efficiency_vs_hw_ceiling": round(eff / ceiling, 3) if ceiling else 0.0,
+            "efficiency_vs_kernel_ceiling": round(eff / kernel_ceiling, 3)
+            if kernel_ceiling
+            else 0.0,
         },
         "elapsed_sec": round(time.time() - t_start, 1),
     }

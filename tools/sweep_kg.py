@@ -20,14 +20,25 @@ import bench  # noqa: E402
 
 CONFIGS = [
     # (name, cores, env overrides)
-    ("base_32", 32, {}),
-    ("scanonly_32", 32, {"SPARK_GRAFT_KG_SCAN_ONLY": "1"}),
-    ("split4m_32", 32, {"SPARK_GRAFT_MAX_PARTITION_BYTES": "4m"}),
-    ("split8m_32", 32, {"SPARK_GRAFT_MAX_PARTITION_BYTES": "8m"}),
-    ("batch10k_32", 32, {"SPARK_GRAFT_ARROW_BATCH": "10000"}),
-    ("batch100k_32", 32, {"SPARK_GRAFT_ARROW_BATCH": "100000"}),
-    ("base_8", 8, {}),
-    ("scanonly_8", 8, {"SPARK_GRAFT_KG_SCAN_ONLY": "1"}),
+    ("b20k_32", 32, {"SPARK_GRAFT_ARROW_BATCH": "20000"}),
+    ("b20k_8", 8, {"SPARK_GRAFT_ARROW_BATCH": "20000"}),
+    (
+        "b20k_s8m_32",
+        32,
+        {"SPARK_GRAFT_ARROW_BATCH": "20000", "SPARK_GRAFT_MAX_PARTITION_BYTES": "8m"},
+    ),
+    (
+        "b20k_s8m_8",
+        8,
+        {"SPARK_GRAFT_ARROW_BATCH": "20000", "SPARK_GRAFT_MAX_PARTITION_BYTES": "8m"},
+    ),
+    (
+        "b20k_s16m_32",
+        32,
+        {"SPARK_GRAFT_ARROW_BATCH": "20000", "SPARK_GRAFT_MAX_PARTITION_BYTES": "16m"},
+    ),
+    ("b10k_32", 32, {"SPARK_GRAFT_ARROW_BATCH": "10000"}),
+    ("b10k_8", 8, {"SPARK_GRAFT_ARROW_BATCH": "10000"}),
 ]
 
 
