@@ -1235,6 +1235,51 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build over the documents table — the classic
+    shuffle-heavy training-data-pipeline op (attribution / dedup indexes).
+    One explode -> distinct -> groupBy(token): partial aggregation
+    (map-side combine) keeps the shuffle skinny; the posting list itself is
+    verified by md5 of the sorted doc-id list, so the payload compared
+    across engines stays one cell per token regardless of df."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    posting = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string"))))).alias(
+                "postings_md5"
+            ),
+        )
+    )
+    return posting
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the co-occurrence graph: ordered node
+    triples (a < b < c) with all three edges present, plus the triangle's
+    support mass.  The canonical 3-way self-join — each join keyed on an
+    endpoint so it shuffles on node id; at scale the bucketed triple
+    layout (plans/catalog.py) co-locates all three legs."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    e = co.select(F.col("subj").alias("a"), F.col("obj").alias("b"), "n_docs")
+    ab = e.select("a", "b", F.col("n_docs").alias("w_ab"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"), F.col("n_docs").alias("w_bc"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"), F.col("n_docs").alias("w_ac"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c", (F.col("w_ab") + F.col("w_bc") + F.col("w_ac")).alias("support"))
+    )
+    return tri
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
     degree and support mass.  Both edge orientations come from ONE pass
@@ -1330,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_degree": q_kg_degree,
         "kg_two_hop": q_kg_two_hop,
+        "kg_triangles": q_kg_triangles,
+        "token_postings": q_token_postings,
     }
 
 
@@ -2339,6 +2386,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.a AS node_x, y.b AS node_z, count(*) AS n_paths
             FROM und x JOIN und y ON x.b = y.a AND x.a < y.b
             GROUP BY x.a, y.b
+        """,
+        "kg_triangles": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL})
+            SELECT ab.subj AS a, ab.obj AS b, bc.obj AS c,
+                   CAST(ab.n_docs + bc.n_docs + ac.n_docs AS BIGINT) AS support
+            FROM co ab
+            JOIN co bc ON ab.obj = bc.subj
+            JOIN co ac ON ab.subj = ac.subj AND bc.obj = ac.obj
+        """,
+        "token_postings": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            )
+            SELECT tok AS token, count(*) AS df,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY CAST(doc_id AS VARCHAR))) AS postings_md5
+            FROM tok GROUP BY tok
         """,
     })
     return out

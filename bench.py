@@ -80,7 +80,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
-def run_kg_fused(spark, pages, partitions: int) -> tuple:
+def run_kg_fused(spark, pages, partitions: int, pages_path: str = None) -> tuple:
     """Fused flagship pipeline over a pages DataFrame (typically a parquet
     scan, as in production); returns (n_triples, seconds).
 
@@ -88,8 +88,17 @@ def run_kg_fused(spark, pages, partitions: int) -> tuple:
     linking, per-cue subject/object selection) run in ONE Arrow pass — no
     text or mention row ever crosses a shuffle.  The only shuffle is the
     salted canonical aggregation, over skinny relation rows.
+
+    ``SPARK_GRAFT_SOURCE=arrow`` (with ``pages_path``) switches the scan to
+    the Arrow-native parquet source (python workers read their row-group
+    splits with pyarrow — sources/arrow_pages.py): measured ~10%% faster at
+    32 cores, neutral at 8, identical output (parity test).  The JVM scan
+    stays the default: full Catalyst source integration.
     """
-    from seq2rel_ds_spark.operators.mention import fused_relation_scan
+    from seq2rel_ds_spark.operators.mention import (
+        fused_relation_scan,
+        fused_relation_scan_arrow,
+    )
     from seq2rel_ds_spark.operators.triples import canonicalize_triples
     from seq2rel_ds_spark.sources import pages as pages_src
 
@@ -97,12 +106,18 @@ def run_kg_fused(spark, pages, partitions: int) -> tuple:
     dict_rows = [
         (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in dictionary.collect()
     ]
+    use_arrow = os.environ.get("SPARK_GRAFT_SOURCE") == "arrow" and pages_path
     t0 = time.time()
     # ascii_boundaries: the synthetic corpus is ASCII by construction, so
     # \b-with-re.ASCII is match-identical and ~27% faster to scan
-    relations = fused_relation_scan(
-        pages, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
-    )
+    if use_arrow:
+        relations = fused_relation_scan_arrow(
+            spark, pages_path, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
+        )
+    else:
+        relations = fused_relation_scan(
+            pages, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
+        )
     from pyspark.sql import functions as F
 
     if os.environ.get("SPARK_GRAFT_KG_SCAN_ONLY"):
@@ -160,7 +175,9 @@ def kg_child(cores: int, pages_path: str) -> None:
         n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
         frac = min(0.05, max(64000.0 / max(n_docs, 1), 0.002))
         run_kg_fused(spark, pages.sample(frac, seed=1), partitions=cores)
-        (n_triples, n_instances), sec = run_kg_fused(spark, pages, partitions=2 * cores)
+        (n_triples, n_instances), sec = run_kg_fused(
+            spark, pages, partitions=2 * cores, pages_path=pages_path
+        )
         print(
             json.dumps(
                 {

@@ -231,6 +231,48 @@ RELATION_SCAN_SCHEMA = (
 )
 
 
+def make_relation_processor(
+    dict_rows: List[tuple], predicates: Dict[str, str], ascii_boundaries: bool = False
+):
+    """Per-batch relation-scan body shared by BOTH scan paths (JVM parquet ->
+    mapInPandas, and the Arrow-native pyarrow source): pandas frame of
+    (url, html) -> iterator of relation frames.  Compiled state (dictionary,
+    patterns) is built once per call — callers construct the processor once
+    per task/partition, not per batch."""
+    from seq2rel_ds_spark.core.link import (
+        build_dictionary,
+        link_doc_mentions,
+        select_relations,
+    )
+    from seq2rel_ds_spark.operators.extract import extract_text_from_html
+
+    dictionary = build_dictionary(dict_rows)
+    pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_boundaries)
+    preds = dict(predicates)
+    cue_pat = re.compile(
+        r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b",
+        re.ASCII if ascii_boundaries else 0,
+    )
+
+    def process(pdf: pd.DataFrame):
+        out = {k: [] for k in ("url", "sent_idx", "subj_uid", "pred", "obj_uid")}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            text = extract_text_from_html(bytes(html))
+            raw_mentions, raw_cues = _scan_doc(text, pat, cue_pat)
+            mentions = [(si, s, e, tok) for si, _ss, s, e, tok in raw_mentions]
+            cues = [(si, s, preds[w]) for si, _ss, s, _e, w in raw_cues]
+            linked = link_doc_mentions(mentions, dictionary)
+            for sent_idx, subj, pred, obj in select_relations(linked, cues):
+                out["url"].append(url)
+                out["sent_idx"].append(sent_idx)
+                out["subj_uid"].append(subj)
+                out["pred"].append(pred)
+                out["obj_uid"].append(obj)
+        yield pd.DataFrame(out)
+
+    return process
+
+
 def fused_relation_scan(
     pages: DataFrame,
     dictionary_rows: List[tuple],
@@ -264,29 +306,50 @@ def fused_relation_scan(
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dict_rows, preds, ascii_b = bc.value
-        dictionary = build_dictionary(dict_rows)
-        pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_b)
-        cue_pat = re.compile(
-            r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b",
-            re.ASCII if ascii_b else 0,
-        )
+        process = make_relation_processor(dict_rows, preds, ascii_boundaries=ascii_b)
         for pdf in batches:
-            out = {k: [] for k in ("url", "sent_idx", "subj_uid", "pred", "obj_uid")}
-            for url, html in zip(pdf["url"], pdf["html"]):
-                text = extract_text_from_html(bytes(html))
-                raw_mentions, raw_cues = _scan_doc(text, pat, cue_pat)
-                mentions = [(si, s, e, tok) for si, _ss, s, e, tok in raw_mentions]
-                cues = [(si, s, preds[w]) for si, _ss, s, _e, w in raw_cues]
-                linked = link_doc_mentions(mentions, dictionary)
-                for sent_idx, subj, pred, obj in select_relations(linked, cues):
-                    out["url"].append(url)
-                    out["sent_idx"].append(sent_idx)
-                    out["subj_uid"].append(subj)
-                    out["pred"].append(pred)
-                    out["obj_uid"].append(obj)
-            yield pd.DataFrame(out)
+            yield from process(pdf)
 
     return pages.select("url", "html").mapInPandas(scan, schema=RELATION_SCAN_SCHEMA)
+
+
+def fused_relation_scan_arrow(
+    spark,
+    pages_path: str,
+    dictionary_rows: List[tuple],
+    predicates: Dict[str, str],
+    ascii_boundaries: bool = False,
+    batch_size: int = 20000,
+) -> DataFrame:
+    """The flagship scan over the Arrow-native parquet source: Python
+    workers read their (file, row_group) splits directly with pyarrow —
+    one decode, no JVM->Python IPC for the html bytes.  Identical output to
+    ``fused_relation_scan`` over the same files (parity-tested); see
+    sources/arrow_pages.py for when this path wins and what it gives up."""
+    from seq2rel_ds_spark.sources.arrow_pages import scan_parquet_python
+
+    bc = spark.sparkContext.broadcast(
+        (list(dictionary_rows), dict(predicates), bool(ascii_boundaries))
+    )
+
+    state: dict = {}  # one compiled processor per worker process
+
+    def process(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        if "proc" not in state:
+            dict_rows, preds, ascii_b = bc.value
+            state["proc"] = make_relation_processor(
+                dict_rows, preds, ascii_boundaries=ascii_b
+            )
+        yield from state["proc"](pdf)
+
+    return scan_parquet_python(
+        spark,
+        pages_path,
+        process,
+        schema=RELATION_SCAN_SCHEMA,
+        columns=["url", "html"],
+        batch_size=batch_size,
+    )
 
 
 def detect_mentions(texts: DataFrame, surfaces: List[str], text_col: str = "text") -> DataFrame:

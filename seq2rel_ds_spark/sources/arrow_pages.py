@@ -1,0 +1,88 @@
+"""Arrow-native parquet source for Python-dominated stages.
+
+The standard path (``spark.read.parquet`` -> ``mapInPandas``) decodes
+parquet in the JVM, re-serializes every row through the Arrow IPC socket,
+and materializes it again in the Python worker — three passes over the
+bytes before the first line of user Python runs.  When the *consumer* of
+the scan is itself a Python stage (the fused relation scan, multimodal
+decode), that JVM round trip buys nothing: this source instead distributes
+``(file, row_group)`` splits as plain rows and lets each Python worker read
+its split directly with ``pyarrow.parquet`` — one decode, zero inbound IPC.
+The same pattern Petastorm / Ray Data / DL data loaders use.
+
+Trade-offs (why this is NOT the default scan):
+  * Catalyst sees only the split table — no automatic predicate pushdown or
+    column pruning into the scan; callers pass ``columns=`` (projection
+    pushdown) and may pass ``filters=`` (pyarrow row-group predicate)
+    explicitly.
+  * No schema evolution / partition discovery beyond what the listing does.
+  * Only worth it when the next stage is Python anyway; for relational
+    consumers the JVM scan with full Catalyst integration wins.
+
+Scale notes: the split table is tiny (one row per row group), so Spark's
+scheduling, task retry, speculative execution, and the downstream shuffle
+machinery all still apply; split granularity = row groups, the same unit
+the JVM scan parallelizes by.  On object stores the pyarrow filesystem
+layer streams ranges the same way the JVM reader does.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def list_row_groups(spark: SparkSession, path: str) -> List[tuple]:
+    """(file, row_group_index) split list for a parquet directory —
+    driver-side metadata-only listing (footer reads, no data)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    splits = []
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_row_groups
+        splits.extend((f, g) for g in range(n))
+    return splits
+
+
+def scan_parquet_python(
+    spark: SparkSession,
+    path: str,
+    process: Callable[[pd.DataFrame], Iterator[pd.DataFrame]],
+    schema: str,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 20000,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Run ``process`` (a pandas-batch generator function) directly over the
+    parquet data, reading each (file, row_group) split with pyarrow inside
+    the Python worker.
+
+    ``process`` receives pandas DataFrames of ``columns`` (projection pushed
+    into the pyarrow reader) and yields output frames matching ``schema`` —
+    the same contract as a ``mapInPandas`` body, so a stage can be moved
+    between the JVM-scan and Arrow-native paths without rewriting logic.
+    """
+    splits = list_row_groups(spark, path)
+    if not splits:
+        return spark.createDataFrame([], schema)
+    sdf = spark.createDataFrame(splits, "file string, row_group int")
+    sdf = sdf.repartition(partitions or len(splits))
+
+    def read_and_process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for f, g in zip(pdf["file"], pdf["row_group"]):
+                pf = pq.ParquetFile(f)
+                for rb in pf.iter_batches(
+                    batch_size=batch_size, row_groups=[int(g)], columns=columns
+                ):
+                    yield from process(rb.to_pandas())
+
+    return sdf.mapInPandas(read_and_process, schema=schema)

@@ -36,6 +36,36 @@ class TestFusedRelationScan:
         pages.unpersist()
         scans.unpersist()
 
+    def test_arrow_native_source_equals_jvm_scan(self, spark, tmp_path):
+        """The Arrow-native parquet path (python workers read their
+        row-group splits with pyarrow) must produce the identical relation
+        multiset as the JVM scan over the same files."""
+        from seq2rel_ds_spark.operators.mention import (
+            fused_relation_scan,
+            fused_relation_scan_arrow,
+        )
+        from seq2rel_ds_spark.sources import pages as pages_src
+
+        path = str(tmp_path / "pages")
+        pages_src.synthesize_pages(spark, 150, partitions=3).write.parquet(path)
+        d = pages_src.dictionary_df(spark)
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in d.collect()
+        ]
+        jvm = sorted(
+            tuple(r)
+            for r in fused_relation_scan(
+                spark.read.parquet(path), dict_rows, pages_src.PREDICATES
+            ).collect()
+        )
+        arrow = sorted(
+            tuple(r)
+            for r in fused_relation_scan_arrow(
+                spark, path, dict_rows, pages_src.PREDICATES, batch_size=64
+            ).collect()
+        )
+        assert jvm == arrow and len(jvm) > 0
+
     def test_core_link_semantics(self):
         from seq2rel_ds_spark.core.link import (
             build_dictionary,

@@ -105,6 +105,25 @@ class TestRelationalPlans:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
+    def test_hypernym_filter_broadcasts_mesh(self, spark):
+        """The MeSH tree dimension must broadcast into BOTH θ-join sides
+        (pos and neg trees) — a shuffled tree join at web scale would move
+        the whole candidate table twice."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_hypernym_filtered(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_token_postings_partial_aggregation(self, spark):
+        """Inverted-index build: the token groupBy must run partial (map-side
+        combine) before the exchange, so the shuffle carries one row per
+        (partition, token), not one per posting."""
+        import __spark_entry__ as em
+
+        plan = _plan(em.q_token_postings(spark, SF))
+        assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange")[0]
+
     def test_dictionary_join_broadcast_in_link(self, spark):
         from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
         from seq2rel_ds_spark.sources import pages as pages_src
