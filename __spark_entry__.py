@@ -1280,6 +1280,22 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment via the real md5_split
+    operator (operators/split.py — the engine-portable variant of the
+    SP-family split semantics, reference util.py:93-111): stable under data
+    growth and partitioning, reproducible by any engine that speaks md5."""
+    from seq2rel_ds_spark.operators.split import md5_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    parts = md5_split(docs, "doc_id", weights=(0.7, 0.1, 0.2), salt="gate")
+    out = None
+    for name, part in parts.items():
+        tagged = part.withColumn("split", F.lit(name))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.select("doc_id", "split")
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
     degree and support mass.  Both edge orientations come from ONE pass
@@ -1377,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_triangles": q_kg_triangles,
         "token_postings": q_token_postings,
+        "split_assignment": q_split_assignment,
     }
 
 
@@ -2407,6 +2424,17 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(doc_id AS VARCHAR), ','
                                   ORDER BY CAST(doc_id AS VARCHAR))) AS postings_md5
             FROM tok GROUP BY tok
+        """,
+        # bucket = first md5 hex byte of 'gate:<doc_id>'; 179/26/51 of 256
+        # buckets == int(round(w * 256)) cumulative ranges in md5_split
+        "split_assignment": f"""
+            SELECT doc_id,
+                   CASE WHEN b < 179 THEN 'train'
+                        WHEN b < 205 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 0)} AS b
+                  FROM documents)
         """,
     })
     return out

@@ -30,6 +30,35 @@ def random_split(
     return df.randomSplit(list(weights), seed=seed)
 
 
+def md5_split(
+    df: DataFrame,
+    key: str,
+    weights: Tuple[float, ...] = (0.7, 0.1, 0.2),
+    salt: str = "split",
+) -> Dict[str, DataFrame]:
+    """``hash_split`` variant bucketed on the first two hex digits of
+    md5(salt:key) — 256 buckets.  Same determinism guarantees; the hash is
+    portable across engines (every warehouse speaks md5 over strings, while
+    xxhash64 is Spark-specific), which makes split assignments reproducible
+    by external systems and auditable by the SQL oracle gate."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split sizes must sum to one. Got {sum(weights)}.")
+    buckets = 256
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    names = ["train", "valid", "test"][: len(weights)]
+    out = {}
+    lo = 0
+    for i, (name, w) in enumerate(zip(names, weights)):
+        hi = buckets if i == len(weights) - 1 else lo + int(round(w * buckets))
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+        lo = hi
+    return out
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -226,6 +226,29 @@ class TestSplit:
         parts = hash_split(df, "key", weights=(1 / 3, 1 / 3, 1 / 3))
         assert sum(v.count() for v in parts.values()) == 3000
 
+    def test_md5_split_covers_and_is_stable(self, spark):
+        """Engine-portable md5 split: every row in exactly one split,
+        ~weight-proportional sizes, identical assignment on re-run, and the
+        bucket math matches a driver-side md5 recomputation."""
+        import hashlib
+
+        from seq2rel_ds_spark.operators.split import md5_split
+
+        df = spark.range(1000).withColumn("key", F.col("id").cast("string"))
+        parts = md5_split(df, "key", salt="t")
+        counts = {k: v.count() for k, v in parts.items()}
+        assert sum(counts.values()) == 1000
+        assert 600 < counts["train"] < 800
+        again = md5_split(df, "key", salt="t")
+        assert parts["valid"].exceptAll(again["valid"]).count() == 0
+        valid_ids = {r["id"] for r in parts["valid"].collect()}
+        expect = {
+            i
+            for i in range(1000)
+            if 179 <= int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:2], 16) < 205
+        }
+        assert valid_ids == expect
+
     def test_random_split_seeded(self, spark):
         from seq2rel_ds_spark.operators.split import random_split
 
