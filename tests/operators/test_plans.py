@@ -124,6 +124,21 @@ class TestRelationalPlans:
         plan = _plan(em.q_token_postings(spark, SF))
         assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange")[0]
 
+    def test_no_scale_killers_in_any_gate_entry(self, spark):
+        """Every gated entry's physical plan must be free of all-pairs join
+        shapes.  ann_topk is the one documented exception: its query side is
+        10 vectors by construction (the exact brute-force baseline), so its
+        BroadcastNestedLoopJoin is bounded — the general shape is lsh_topk,
+        which this test does cover."""
+        import __spark_entry__ as em
+
+        allowed_bnlj = {"ann_topk"}
+        for name, fn in em.queries().items():
+            plan = _plan(fn(spark, SF))
+            assert "CartesianProduct" not in plan, name
+            if name not in allowed_bnlj:
+                assert "BroadcastNestedLoopJoin" not in plan, name
+
     def test_dictionary_join_broadcast_in_link(self, spark):
         from seq2rel_ds_spark.operators.mention import detect_mentions, link_mentions
         from seq2rel_ds_spark.sources import pages as pages_src
