@@ -1296,6 +1296,150 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_skewed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress gate for the salted two-phase aggregate: a synthesized
+    mega-hub distribution (90% of rows collapse onto 3 duplicate keys — the
+    same-boilerplate-page-a-billion-times shape) runs through the REAL
+    ``exact_dedup_groups(salt_buckets=32)`` path; the oracle recomputes the
+    groups with a plain GROUP BY, so any salting bug (lost rows, double
+    counts, wrong survivor under partial/final split) breaks the hash."""
+    from seq2rel_ds_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    skewed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 != 0,
+            F.concat(F.lit("hub page "), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("unique page "), F.col("doc_id").cast("string")))
+        .alias("text"),
+    )
+    return exact_dedup_groups(skewed, salt_buckets=32)
+
+
+def q_hinted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J7 gate: the reference's "pipeline" entity-hinting semantics
+    (util.py:256-274) — a document WITHOUT an externally-hinted text row is
+    DROPPED (inner-join drop, the reference's warn+skip), and the hinted
+    text REPLACES the parsed text.  The hint table is synthesized
+    deterministically from the corpus: ~81% of doc_ids selected by an md5
+    rule, hint text = the working text plus a ' zzhint' marker so the
+    substitution is visible in the emitted line, not just in the row count.
+    Runs the real ``plans.corpora.apply_hint_source`` + linearize stack."""
+    from seq2rel_ds_spark.operators.linearize import linearize
+    from seq2rel_ds_spark.plans.corpora import apply_hint_source
+
+    parsed = _parsed_corpus(spark, sf_dir)
+    corpus = _pubtator_corpus(spark, sf_dir)  # fresh lineage: no self-join
+    wtext = F.when(
+        F.col("abstract") != "", F.concat_ws(" ", "title", "abstract")
+    ).otherwise(F.col("title"))
+    sel = F.substring(F.md5(F.concat_ws(":", F.lit("hint"), F.col("doc_id"))), 1, 1)
+    hint_source = corpus.select(
+        "doc_id", F.concat(wtext, F.lit(" zzhint")).alias("hint_text")
+    ).filter(~sel.isin("c", "d", "e"))
+    return linearize(apply_hint_source(parsed, hint_source)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("line").alias("line_md5"),
+    )
+
+
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode gate (deterministic_fake=False): valid uncompressed
+    24-bit BMP blobs (struct-packed, no codec lib) flow through the same
+    Arrow-batched ``image_features`` stage as production media; the oracle
+    restates width/height/mean/phash in closed form from the generative
+    pixel formula, so header parsing, BGR->RGB ordering, bottom-up rows and
+    4-byte padding are all externally audited."""
+    from seq2rel_ds_spark.operators.multimodal import image_features, synthesize_bmp_media
+
+    media = synthesize_bmp_media(spark, N_MEDIA)
+    return image_features(media, deterministic_fake=False)
+
+
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode gate: valid PCM 16-bit mono RIFF/WAVE blobs through
+    the real ``audio_features`` stage — chunk walking, sample scaling and
+    the sign-fingerprint are restated in closed form by the oracle."""
+    from seq2rel_ds_spark.operators.multimodal import audio_features, synthesize_wav_media
+
+    media = synthesize_wav_media(spark, N_MEDIA)
+    return audio_features(media, deterministic_fake=False)
+
+
+def q_triples_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once gate: the REAL incremental-maintenance
+    subsystem (streaming/triples_stream.py) driven end-to-end — a
+    deterministic relation stream split over 4 source files runs through
+    ``start_triples_stream`` (foreachBatch epoch-stamped appends,
+    maxFilesPerTrigger=1 so each file is its own epoch), then the highest
+    epoch's increment rows are APPENDED AGAIN byte-identically (exactly what
+    a restarted foreachBatch produces when an epoch's commit was lost — the
+    at-least-once failure mode), the log is compacted, and the merged triple
+    counts are returned.  The oracle computes the same counts batch in SQL:
+    any replay-dedup or merge bug inflates/loses counts and breaks the hash.
+
+    The relation derivation is Catalyst (term co-occurrence per doc) so the
+    oracle can restate it; the fused page scan that production streams use
+    is parity- and gate-audited separately (``relation_scan`` override).
+    Stream artifacts live in a session-lifetime temp dir (the returned
+    DataFrame lazily reads them; cleaning here would break collection)."""
+    import tempfile
+
+    from seq2rel_ds_spark.streaming.triples_stream import (
+        compact_increments,
+        merged_triples,
+        start_triples_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in KG_TERMS])
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        "doc_id",
+        F.explode(F.filter(toks, lambda t: F.array_contains(terms, t))).alias("term"),
+    ).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    rel = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")),
+        )
+        .select(
+            F.col("a.doc_id").cast("string").alias("url"),
+            F.lit(0).alias("sent_idx"),
+            F.col("a.term").alias("subj_uid"),
+            F.lit("COOCCURS_WITH").alias("pred"),
+            F.col("b.term").alias("obj_uid"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="gate_triples_stream_")
+    src, inc, ck, compacted = (
+        f"{base}/src",
+        f"{base}/inc",
+        f"{base}/ck",
+        f"{base}/compacted",
+    )
+    for e in range(4):  # 4 files -> 4 deterministic micro-batch epochs
+        rel.filter(F.col("url").cast("long") % 4 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(rel.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_triples_stream(
+        stream, [], {}, inc, ck, salt_buckets=4, available_now=True,
+        relation_scan=lambda df: df,
+    )
+    q.awaitTermination(300)
+    incdf = spark.read.parquet(inc)
+    last = incdf.agg(F.max("epoch_id")).first()[0]
+    incdf.filter(F.col("epoch_id") == last).write.mode("append").parquet(inc)
+    compact_increments(spark, inc, compacted)
+    return merged_triples(spark, compacted)
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
     degree and support mass.  Both edge orientations come from ONE pass
@@ -1394,6 +1538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
+        "skewed_dedup": q_skewed_dedup,
+        "hinted_lines": q_hinted_lines,
+        "media_bmp_decode": q_media_bmp_decode,
+        "media_wav_decode": q_media_wav_decode,
+        "triples_stream_merge": q_triples_stream_merge,
     }
 
 
@@ -1752,6 +1901,29 @@ _LINEARIZED_HINTS_SQL = f"""
     LEFT JOIN hs ON w.doc_id = hs.doc_id
 """
 
+_HINTED_LINES_SQL = f"""
+    WITH {_LINEARIZE_CTES}
+    SELECT w.doc_id AS doc_id,
+           md5(trim(w.wtext || ' zzhint') || chr(9)
+               || trim(coalesce(rs.rel_string, ''))) AS line_md5
+    FROM w LEFT JOIN rs ON w.doc_id = rs.doc_id
+    WHERE substring(md5('hint:' || CAST(w.doc_id AS VARCHAR)), 1, 1)
+          NOT IN ('c', 'd', 'e')
+"""
+
+_SKEWED_DEDUP_SQL = r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 <> 0
+                  THEN 'hub page ' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE 'unique page ' || CAST(doc_id AS VARCHAR) END AS text
+      FROM documents
+    )
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM s GROUP BY 1 HAVING count(*) > 1
+"""
+
 # SimHash oracle: replicates operators/dedup.py simhash_col/simhash_pairs
 # bit-for-bit — per-token md5 nibbles vote on 64 bits; candidate pairs share
 # one of 4 16-bit chunks; hamming <= 3.  Generated SQL (64 vote aggregates).
@@ -1809,6 +1981,15 @@ _KG_COOCCURRENCE_SQL = f"""
     SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
     FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
     GROUP BY a.term, b.term
+"""
+
+
+_TRIPLES_STREAM_MERGE_SQL = f"""
+    WITH m AS (SELECT DISTINCT doc_id, term FROM ({_KG_MENTIONS_SQL}))
+    SELECT md5(a.term) AS subj, 'COOCCURS_WITH' AS pred, md5(b.term) AS obj,
+           count(*) AS n_support
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2, 3
 """
 
 
@@ -2072,9 +2253,62 @@ def _embedding_lsh_sqls() -> dict[str, str]:
     return {"embedding_neardup": neardup, "lsh_topk": topk}
 
 
+def _real_media_sqls() -> dict[str, str]:
+    """DuckDB replicas of the REAL BMP/WAV decode gates: the generative
+    formulas in synthesize_bmp_media / synthesize_wav_media restated in
+    closed form — the engine must parse the actual container bytes back to
+    exactly these values (operators/multimodal.py:_decode_bmp/_decode_wav)."""
+    n = N_MEDIA
+    bmp = f"""
+        WITH b AS (
+          SELECT i, 'bmp-' || i AS media_id,
+                 CAST(6 + i % 5 AS INT) AS w, CAST(4 + i % 4 AS INT) AS h
+          FROM range(0, {n}) t(i)
+        ),
+        px AS (
+          SELECT media_id, w, h,
+                 list_transform(range(0, w * h * 3), p ->
+                   CAST((i * 7 + (p // (w * 3)) * 31 + ((p % (w * 3)) // 3) * 13
+                         + (p % 3) * 5) % 256 AS INT)) AS pix
+          FROM b
+        )
+        SELECT media_id, w AS width, h AS height, 3 AS channels,
+               round(list_sum(pix) / CAST(w * h * 3 AS DOUBLE) / 255.0, 6) AS mean_luma,
+               array_to_string(list_transform(range(0, 16), nb ->
+                 substring('0123456789abcdef',
+                   CAST(8 * (CASE WHEN pix[CAST(4*nb+1 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN pix[CAST(4*nb+2 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN pix[CAST(4*nb+3 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + (CASE WHEN pix[CAST(4*nb+4 AS INT)] >= pix[1] THEN 1 ELSE 0 END)
+                      + 1 AS INT), 1)), '') AS phash
+        FROM px
+    """
+    wav = f"""
+        WITH b AS (
+          SELECT i, 'wav-' || i AS media_id,
+                 CAST(8000 + 1000 * (i % 5) AS INT) AS rate,
+                 CAST(32 + i % 17 AS BIGINT) AS n
+          FROM range(0, {n}) t(i)
+        ),
+        sm AS (
+          SELECT media_id, rate, n,
+                 list_transform(range(0, CAST(n AS INT)), k ->
+                   (((i * 97 + k * 57) % 4001) - 2000) / 32768.0) AS s
+          FROM b
+        )
+        SELECT media_id, rate AS sample_rate, n AS n_samples,
+               round(sqrt(list_sum(list_transform(s, x -> x * x)) / CAST(n AS DOUBLE)), 6) AS rms,
+               md5(array_to_string(list_transform(s,
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')) AS afp
+        FROM sm
+    """
+    return {"media_bmp_decode": bmp, "media_wav_decode": wav}
+
+
 def oracle_sql() -> dict[str, str]:
     out = _embedding_lsh_sqls()
     out.update(_media_sqls())
+    out.update(_real_media_sqls())
     out.update({
         "doc_redact": r"""
             WITH pii AS (
@@ -2376,6 +2610,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linearized_lines": _LINEARIZED_LINES_SQL,
         "linearized_hints": _LINEARIZED_HINTS_SQL,
+        "hinted_lines": _HINTED_LINES_SQL,
+        "skewed_dedup": _SKEWED_DEDUP_SQL,
+        "triples_stream_merge": _TRIPLES_STREAM_MERGE_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""

@@ -87,45 +87,75 @@ def run_kg_fused(spark, pages, partitions: int, pages_path: str = None) -> tuple
     All doc-local semantics (extract, sentence scan, dictionary+coherence
     linking, per-cue subject/object selection) run in ONE Arrow pass — no
     text or mention row ever crosses a shuffle.  The only shuffle is the
-    salted canonical aggregation, over skinny relation rows.
+    canonical triple merge, over skinny pre-aggregated rows.
 
-    ``SPARK_GRAFT_SOURCE=arrow`` (with ``pages_path``) switches the scan to
-    the Arrow-native parquet source (python workers read their row-group
-    splits with pyarrow — sources/arrow_pages.py): measured ~10%% faster at
-    32 cores, neutral at 8, identical output (parity test).  The JVM scan
-    stays the default: full Catalyst source integration.
+    Default path (round 4): Arrow-native source + fused map-side combine
+    (``fused_triple_partials_arrow`` + ``canonicalize_from_partials``) —
+    python workers read their (file, row_group) splits directly with pyarrow
+    and emit per-task (subj, pred, obj, cnt) PARTIALS, so neither the html
+    bytes nor the ~17 relation instances/doc ever cross the Arrow IPC
+    boundary; the JVM only schedules tasks and merges
+    O(distinct-triples x tasks) rows.  Both the scan source and the combine
+    are parity-pinned row-identical to the modular Catalyst path
+    (tests/operators/test_fused_scan.py).
+
+    ``SPARK_GRAFT_SOURCE`` selects alternatives for A/B evidence:
+      * ``jvm``          — JVM parquet scan, instance rows, salted two-phase
+                           aggregate (the round-3 recorded default; measured
+                           JVM-scan scaling 0.44 in isolation — BENCH.md)
+      * ``arrow``        — Arrow-native scan, instance rows, salted aggregate
+      * ``jvm_combine``  — JVM scan + fused map-side combine
+      * anything else    — the default above
     """
     from seq2rel_ds_spark.operators.mention import (
         fused_relation_scan,
         fused_relation_scan_arrow,
+        fused_triple_partials,
+        fused_triple_partials_arrow,
     )
-    from seq2rel_ds_spark.operators.triples import canonicalize_triples
+    from seq2rel_ds_spark.operators.triples import (
+        canonicalize_from_partials,
+        canonicalize_triples,
+    )
     from seq2rel_ds_spark.sources import pages as pages_src
 
     dictionary = pages_src.dictionary_df(spark)
     dict_rows = [
         (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in dictionary.collect()
     ]
-    use_arrow = os.environ.get("SPARK_GRAFT_SOURCE") == "arrow" and pages_path
+    source = os.environ.get("SPARK_GRAFT_SOURCE", "arrow_combine")
+    if source in ("arrow", "arrow_combine") and not pages_path:
+        source = "jvm_combine" if source == "arrow_combine" else "jvm"
     t0 = time.time()
     # ascii_boundaries: the synthetic corpus is ASCII by construction, so
     # \b-with-re.ASCII is match-identical and ~27% faster to scan
-    if use_arrow:
+    if source == "arrow":
         relations = fused_relation_scan_arrow(
             spark, pages_path, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
         )
-    else:
+        triples = canonicalize_triples(relations, salt_buckets=64)
+    elif source == "jvm":
         relations = fused_relation_scan(
             pages, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
         )
+        triples = canonicalize_triples(relations, salt_buckets=64)
+    elif source == "jvm_combine":
+        partials = fused_triple_partials(
+            pages, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
+        )
+        triples = canonicalize_from_partials(partials)
+    else:  # arrow_combine — the default
+        partials = fused_triple_partials_arrow(
+            spark, pages_path, dict_rows, pages_src.PREDICATES, ascii_boundaries=True
+        )
+        triples = canonicalize_from_partials(partials)
     from pyspark.sql import functions as F
 
     if os.environ.get("SPARK_GRAFT_KG_SCAN_ONLY"):
-        # experiment knob: isolate the Arrow scan stage from the canonical
+        # experiment knob: isolate the scan stage from the canonical
         # aggregation (not used for recorded numbers)
-        n = relations.count()
+        n = (relations if source in ("arrow", "jvm") else partials).count()
         return (0, n), time.time() - t0
-    triples = canonicalize_triples(relations, salt_buckets=64)
     row = triples.agg(
         F.count("*").alias("n_triples"), F.sum("n_support").alias("n_instances")
     ).first()
@@ -170,11 +200,19 @@ def kg_child(cores: int, pages_path: str) -> None:
     )
     try:
         pages = spark.read.parquet(pages_path)
-        # warm-up on a small sample (~64k docs): spins Python workers / JIT /
-        # Arrow paths without paying a full extra pass per level
-        n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
-        frac = min(0.05, max(64000.0 / max(n_docs, 1), 0.002))
-        run_kg_fused(spark, pages.sample(frac, seed=1), partitions=cores)
+        # warm-up (untimed): spins Python workers / JIT / Arrow paths through
+        # the SAME codepath as the timed run — a pre-generated small warmup
+        # table (written by main()) so the pyarrow in-worker reader warms too
+        warmup_path = pages_path + "_warmup"
+        if os.path.isdir(warmup_path):
+            run_kg_fused(
+                spark, spark.read.parquet(warmup_path), partitions=cores,
+                pages_path=warmup_path,
+            )
+        else:
+            n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
+            frac = min(0.05, max(64000.0 / max(n_docs, 1), 0.002))
+            run_kg_fused(spark, pages.sample(frac, seed=1), partitions=cores)
         (n_triples, n_instances), sec = run_kg_fused(
             spark, pages, partitions=2 * cores, pages_path=pages_path
         )
@@ -419,6 +457,11 @@ def main() -> None:
     # 8 files/core: with one row group per file, file count bounds split
     # granularity — many short waves absorb stragglers on both legs
     synthesize_pages(spark, kg_docs, partitions=8 * cpus).write.parquet(pages_path)
+    # small warmup table (untimed, per-leg) so each child JVM warms the
+    # exact timed codepath — including the pyarrow in-worker reader
+    synthesize_pages(spark, max(kg_docs // 40, 2 * cpus * 250), partitions=2 * cpus).write.parquet(
+        pages_path + "_warmup"
+    )
     spark.stop()
 
     # Run the two levels back-to-back within each ROUND and compute
@@ -498,7 +541,19 @@ def main() -> None:
             raise RuntimeError("all kg scaling rounds timed out")
         clean_pairs = [p for p in pairs if p["clean"]]
         scored = clean_pairs or pairs  # fall back to dirty pairs, visibly
-        best = max(scored, key=lambda p: p["efficiency"])
+        # slow-baseline inflation guard (ADVICE r3): taking the max over
+        # clean pairs is biased upward when residual noise slows a LOW leg
+        # (a slower baseline inflates that pair's ratio even though both
+        # legs pass the steal/probe gates).  A pair is headline-eligible
+        # only if its low leg is within 15% of the fastest clean low leg of
+        # the campaign — i.e. the ratio must be earned by a fast high leg,
+        # never by a slow baseline.
+        if clean_pairs:
+            lo_floor = min(p["lo"]["seconds"] for p in clean_pairs)
+            eligible = [p for p in scored if p["lo"]["seconds"] <= 1.15 * lo_floor]
+        else:
+            eligible = scored
+        best = max(eligible or scored, key=lambda p: p["efficiency"])
         effs = sorted(p["efficiency"] for p in scored)
         median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
@@ -548,6 +603,7 @@ def main() -> None:
             ],
             "n_clean_pairs": len(clean_pairs),
             "no_clean_pair": not clean_pairs,
+            "n_inflation_eligible_pairs": len(eligible),
             "best_clean_pair_efficiency": round(eff, 3),
             "median_clean_pair_efficiency": median_eff,
             "probe_calib_sec": round(probe_calib, 3),
@@ -568,7 +624,30 @@ def main() -> None:
         },
         "elapsed_sec": round(time.time() - t_start, 1),
     }
+    # The driver records only a bounded stdout TAIL of this process (the
+    # round-3 artifact kept 2,000 chars and lost the per-query timings), so:
+    #   1. the FULL result is persisted to BENCH_local.json in-repo
+    #   2. the full JSON line prints first (humans, logs)
+    #   3. a compact line — everything except the bulky per-run evidence
+    #      lists, which live in BENCH_local.json — prints LAST so whatever
+    #      tail the driver keeps always contains the complete verdict-
+    #      critical record and parses as one JSON object
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(result))
+    compact = dict(result)
+    compact["kg_scaling"] = {
+        k: v
+        for k, v in result["kg_scaling"].items()
+        if k not in ("low_runs", "high_runs", "pairs")
+    }
+    compact["evidence"] = "BENCH_local.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

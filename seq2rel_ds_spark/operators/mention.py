@@ -60,6 +60,18 @@ def _compile_dictionary(surfaces: List[str], ascii_boundaries: bool = False) -> 
     engine's per-position scan beats any Python-level token loop — and
     the third-party ``regex`` module adds no speed for this shape.
     """
+    # The downstream scanner (_scan_doc) matches once over the FULL text and
+    # assigns sentence ids by offset — correct only while no surface can
+    # cross a sentence boundary.  Enforce that assumption here instead of
+    # documenting it: a surface containing a sentence split (". " etc.,
+    # e.g. "U.S. Army") would silently match across sentences.
+    for s in surfaces:
+        if _SENT_SPLIT.search(s):
+            raise ValueError(
+                f"dictionary surface {s!r} contains a sentence boundary "
+                f"({_SENT_SPLIT.pattern!r}); the single-pass scanner would "
+                "match it across sentences — strip or re-tokenize it"
+            )
     trie: dict = {}
     for s in sorted(set(surfaces)):
         node = trie
@@ -88,6 +100,21 @@ def _compile_dictionary(surfaces: List[str], ascii_boundaries: bool = False) -> 
 
     return re.compile(
         r"\b(" + pats[id(trie)] + r")\b", re.ASCII if ascii_boundaries else 0
+    )
+
+
+def _compile_cue_pattern(words, ascii_boundaries: bool = False) -> "re.Pattern":
+    """Cue-word alternation with the same no-sentence-boundary guarantee the
+    dictionary pattern enforces (the single-pass scanner depends on it)."""
+    for w in words:
+        if _SENT_SPLIT.search(w):
+            raise ValueError(
+                f"predicate cue {w!r} contains a sentence boundary; the "
+                "single-pass scanner would match it across sentences"
+            )
+    return re.compile(
+        r"\b(" + "|".join(re.escape(w) for w in sorted(words)) + r")\b",
+        re.ASCII if ascii_boundaries else 0,
     )
 
 
@@ -141,11 +168,7 @@ def scan_sentences(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pattern_surfaces, preds = bc.value
         pat = _compile_dictionary(pattern_surfaces)
-        cue_pat = (
-            re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
-            if preds
-            else None
-        )
+        cue_pat = _compile_cue_pattern(preds) if preds else None
         for pdf in batches:
             out = {
                 k: []
@@ -192,11 +215,7 @@ def scan_pages(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pattern_surfaces, preds = bc.value
         pat = _compile_dictionary(pattern_surfaces)
-        cue_pat = (
-            re.compile(r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b")
-            if preds
-            else None
-        )
+        cue_pat = _compile_cue_pattern(preds) if preds else None
         for pdf in batches:
             out = {
                 k: []
@@ -249,10 +268,7 @@ def make_relation_processor(
     dictionary = build_dictionary(dict_rows)
     pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_boundaries)
     preds = dict(predicates)
-    cue_pat = re.compile(
-        r"\b(" + "|".join(re.escape(w) for w in sorted(preds)) + r")\b",
-        re.ASCII if ascii_boundaries else 0,
-    )
+    cue_pat = _compile_cue_pattern(preds, ascii_boundaries=ascii_boundaries)
 
     def process(pdf: pd.DataFrame):
         out = {k: [] for k in ("url", "sent_idx", "subj_uid", "pred", "obj_uid")}
@@ -271,6 +287,111 @@ def make_relation_processor(
         yield pd.DataFrame(out)
 
     return process
+
+
+TRIPLE_PARTIAL_SCHEMA = "subj_uid string, pred string, obj_uid string, cnt long"
+
+
+def make_triple_partial_processor(
+    dict_rows: List[tuple], predicates: Dict[str, str], ascii_boundaries: bool = False
+):
+    """Like ``make_relation_processor`` but with MAP-SIDE COMBINE fused into
+    the scan task: each batch emits per-(subj, pred, obj) partial COUNTS
+    instead of one row per relation instance.
+
+    Why this is the 100 TB shape: the doc-local scan produces ~17 relation
+    instances per page but only ever |distinct triples seen by the task|
+    distinct keys, so aggregating inside the Python task bounds what crosses
+    the Arrow IPC boundary AND what the JVM has to hash at
+    O(distinct-per-task), not O(instances) — the same bound the salted
+    two-phase aggregate provides, obtained one stage earlier.  Canonical ids
+    and the global merge stay in Catalyst (``canonicalize_from_partials``).
+    Parity with the instance-row path is pinned by
+    tests/operators/test_fused_scan.py (identical triples AND n_support).
+    """
+    from collections import Counter
+
+    inner = make_relation_processor(dict_rows, predicates, ascii_boundaries)
+
+    def process(pdf: pd.DataFrame):
+        counts: Counter = Counter()
+        for rel in inner(pdf):
+            for subj, pred, obj in zip(rel["subj_uid"], rel["pred"], rel["obj_uid"]):
+                counts[(subj, pred, obj)] += 1
+        keys = list(counts)
+        yield pd.DataFrame(
+            {
+                "subj_uid": [k[0] for k in keys],
+                "pred": [k[1] for k in keys],
+                "obj_uid": [k[2] for k in keys],
+                "cnt": [counts[k] for k in keys],
+            }
+        )
+
+    return process
+
+
+def fused_triple_partials(
+    pages: DataFrame,
+    dictionary_rows: List[tuple],
+    predicates: Dict[str, str],
+    ascii_boundaries: bool = False,
+) -> DataFrame:
+    """JVM-scan variant of the fused-combine flagship stage: parquet scan ->
+    ONE Arrow pass doing extract+scan+link+select+partial-aggregate.  Output
+    rows are (subj_uid, pred, obj_uid, cnt) partials; feed to
+    ``canonicalize_from_partials``."""
+    bc = pages.sparkSession.sparkContext.broadcast(
+        (list(dictionary_rows), dict(predicates), bool(ascii_boundaries))
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dict_rows, preds, ascii_b = bc.value
+        process = make_triple_partial_processor(dict_rows, preds, ascii_boundaries=ascii_b)
+        for pdf in batches:
+            yield from process(pdf)
+
+    return pages.select("url", "html").mapInPandas(scan, schema=TRIPLE_PARTIAL_SCHEMA)
+
+
+def fused_triple_partials_arrow(
+    spark,
+    pages_path: str,
+    dictionary_rows: List[tuple],
+    predicates: Dict[str, str],
+    ascii_boundaries: bool = False,
+    batch_size: int = 20000,
+) -> DataFrame:
+    """Arrow-native + fused-combine flagship stage (the bench default):
+    python workers read their (file, row_group) splits directly with pyarrow
+    (one decode, no inbound IPC — sources/arrow_pages.py) and emit
+    pre-aggregated triple partials (no per-instance outbound IPC either).
+    The JVM's remaining work is scheduling plus a final merge over
+    O(distinct-triples x tasks) skinny rows."""
+    from seq2rel_ds_spark.sources.arrow_pages import scan_parquet_python
+
+    bc = spark.sparkContext.broadcast(
+        (list(dictionary_rows), dict(predicates), bool(ascii_boundaries))
+    )
+
+    state: dict = {}  # one compiled processor per worker process
+
+    def process(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        if "proc" not in state:
+            dict_rows, preds, ascii_b = bc.value
+            state["proc"] = make_triple_partial_processor(
+                dict_rows, preds, ascii_boundaries=ascii_b
+            )
+        yield from state["proc"](pdf)
+
+    return scan_parquet_python(
+        spark,
+        pages_path,
+        process,
+        schema=TRIPLE_PARTIAL_SCHEMA,
+        columns=["url", "html"],
+        batch_size=batch_size,
+    )
 
 
 def fused_relation_scan(

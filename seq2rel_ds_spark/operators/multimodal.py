@@ -40,17 +40,125 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_phash string"
 
 
+def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """Encode top-down RGB pixels as an uncompressed 24-bit BMP (BGR rows,
+    bottom-up, 4-byte padded) — pure struct packing, no codec library.
+    ``pixels_rgb`` is row-major top-down, 3 bytes per pixel."""
+    import struct
+
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixels_rgb must be width*height*3 bytes")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = pixels_rgb[y * row_bytes : (y + 1) * row_bytes]
+        for x in range(width):  # RGB -> BGR
+            r, g, b = row[x * 3 : x * 3 + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def _decode_bmp(blob: bytes):
+    """Parse an uncompressed 24-bit BMP -> (width, height, 3, top-down RGB
+    bytes).  Inverse of ``encode_bmp``; rejects compressed/other-depth BMPs
+    loudly rather than guessing."""
+    import struct
+
+    if len(blob) < 54:
+        raise ValueError("truncated BMP header")
+    magic, _fsize, _r1, _r2, data_offset = struct.unpack_from("<2sIHHI", blob, 0)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", blob, 14
+    )
+    if magic != b"BM" or hdr_size < 40:
+        raise ValueError("not a BITMAPINFOHEADER BMP")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = blob[data_offset + src_y * stride : data_offset + src_y * stride + row_bytes]
+        if len(row) < row_bytes:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):  # BGR -> RGB
+            b, g, r = row[x * 3 : x * 3 + 3]
+            out[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(out)
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Encode 16-bit signed PCM mono samples as a RIFF/WAVE blob — pure
+    struct packing, no codec library."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def _decode_wav(blob: bytes):
+    """Parse a PCM 16-bit mono RIFF/WAVE blob -> (sample_rate, [floats in
+    [-1, 1)]).  Walks RIFF chunks; rejects non-PCM loudly."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only PCM 16-bit mono supported (fmt={fmt_tag}, "
+                    f"bits={bits}, channels={channels})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = [struct.unpack_from("<h", data, 2 * i)[0] / 32768.0 for i in range(n)]
+    return rate, samples
+
+
 def _decode_image(blob: bytes, deterministic_fake: bool):
     """Decode image bytes -> (width, height, channels, flat_pixels).
 
-    STUB: real decoding requires an image codec (PIL/cv2), absent in this
-    container.  The deterministic fake derives stable pseudo-pixels from the
-    blob's md5 so the whole distributed pipeline is testable end-to-end.
+    Uncompressed 24-bit BMP decodes for REAL (``_decode_bmp`` — pure struct
+    parsing, no codec library needed).  Compressed formats (JPEG/PNG/...)
+    require codec libraries absent from this container; for those the
+    deterministic fake derives stable pseudo-pixels from the blob's md5 so
+    the distributed pipeline stays testable end-to-end, and without the
+    fake flag they raise loudly.
     """
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass "
-            "deterministic_fake=True or install PIL/cv2 and implement here"
+            "compressed image codecs unavailable in this environment; pass "
+            "deterministic_fake=True, supply uncompressed BMP, or install "
+            "PIL/cv2 and implement here"
         )
     # the fake derives from the blob's hex string (not raw bytes) so an
     # external SQL oracle whose hash functions are VARCHAR-only can
@@ -66,11 +174,18 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
 
 
 def _decode_audio(blob: bytes, deterministic_fake: bool):
-    """Decode audio bytes -> (sample_rate, samples).  STUB like above."""
+    """Decode audio bytes -> (sample_rate, samples in [-1, 1)).
+
+    PCM 16-bit mono RIFF/WAVE decodes for REAL (``_decode_wav``); compressed
+    codecs (mp3/ogg/...) need libraries absent here — fake or raise, as for
+    images."""
+    if blob[:4] == b"RIFF":
+        return _decode_wav(blob)
     if not deterministic_fake:
         raise NotImplementedError(
-            "audio codecs unavailable in this environment; pass "
-            "deterministic_fake=True or install soundfile/ffmpeg and implement"
+            "compressed audio codecs unavailable in this environment; pass "
+            "deterministic_fake=True, supply PCM WAV, or install "
+            "soundfile/ffmpeg and implement here"
         )
     key = blob.hex().encode()
     h = hashlib.md5(key).digest()
@@ -153,6 +268,55 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.select("media_id", "media").mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_bmp_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic table of VALID uncompressed 24-bit BMP blobs (media_id,
+    mime, media binary) — real bytes for the real decode path.  Dimensions
+    and pixel values are closed-form in the id so an external SQL oracle can
+    restate every decoded feature without parsing BMP:
+      width = 6 + id%5, height = 4 + id%4,
+      pixel value at flat top-down RGB offset p = (id*7 + y*31 + x*13 + c*5) % 256
+    (y = p // (w*3), x = (p %% (w*3)) // 3, c = p % 3)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, blobs = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 6 + i % 5, 4 + i % 4
+                pix = bytes(
+                    (i * 7 + y * 31 + x * 13 + c * 5) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                ids.append(f"bmp-{i}")
+                mimes.append("image/bmp")
+                blobs.append(encode_bmp(w, h, pix))
+            yield pd.DataFrame({"media_id": ids, "mime": mimes, "media": blobs})
+
+    return spark.range(n).mapInPandas(gen, schema="media_id string, mime string, media binary")
+
+
+def synthesize_wav_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic table of VALID PCM 16-bit mono WAV blobs; closed form:
+    sample_rate = 8000 + 1000*(id%5), n_samples = 32 + id%17,
+    raw sample k = ((id*97 + k*57) % 4001) - 2000."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, blobs = [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rate = 8000 + 1000 * (i % 5)
+                samples = [((i * 97 + k * 57) % 4001) - 2000 for k in range(32 + i % 17)]
+                ids.append(f"wav-{i}")
+                mimes.append("audio/wav")
+                blobs.append(encode_wav(rate, samples))
+            yield pd.DataFrame({"media_id": ids, "mime": mimes, "media": blobs})
+
+    return spark.range(n).mapInPandas(gen, schema="media_id string, mime string, media binary")
 
 
 def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:

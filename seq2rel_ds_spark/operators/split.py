@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 
 SEED = 13370  # reference's global seed (util.py:20)
 
+_SPLIT_NAMES = ["train", "valid", "test"]
+
+
+def _split_names(weights) -> List[str]:
+    """One name per weight.  The named splits are train/valid/test; passing
+    more weights than names would silently assign the tail buckets to NO
+    split (rows vanish despite weights summing to one), so it is an error."""
+    if len(weights) > len(_SPLIT_NAMES):
+        raise ValueError(
+            f"at most {len(_SPLIT_NAMES)} splits supported "
+            f"({'/'.join(_SPLIT_NAMES)}); got {len(weights)} weights"
+        )
+    return _SPLIT_NAMES[: len(weights)]
+
 
 def random_split(
     df: DataFrame, weights: Tuple[float, ...] = (0.7, 0.1, 0.2), seed: int = SEED
@@ -49,7 +63,7 @@ def md5_split(
         16,
         10,
     ).cast("int")
-    names = ["train", "valid", "test"][: len(weights)]
+    names = _split_names(weights)
     out = {}
     lo = 0
     for i, (name, w) in enumerate(zip(names, weights)):
@@ -70,7 +84,7 @@ def hash_split(
     if abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError(f"split sizes must sum to one. Got {sum(weights)}.")
     bucket = F.pmod(F.xxhash64(F.concat_ws(":", F.lit(salt), F.col(key))), F.lit(buckets))
-    names = ["train", "valid", "test"][: len(weights)]
+    names = _split_names(weights)
     out = {}
     lo = 0
     for i, (name, w) in enumerate(zip(names, weights)):

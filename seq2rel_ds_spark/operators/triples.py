@@ -54,6 +54,40 @@ def extract_relations(
     ).select("url", "sent_idx", "subj_uid", "pred", "obj_uid")
 
 
+def canonicalize_from_partials(
+    partials: DataFrame,
+    output_partitions: int = None,
+) -> DataFrame:
+    """Final canonicalization over pre-aggregated (subj_uid, pred, obj_uid,
+    cnt) partial rows (``fused_triple_partials[_arrow]``) — same output
+    contract as ``canonicalize_triples``.
+
+    The producing scan task IS the partial phase here (map-side combine fused
+    into the Python stage), so rows entering this one shuffle are bounded by
+    distinct-triples-per-task — the identical skew bound the salted two-phase
+    aggregate enforces, achieved one stage earlier: a hub entity arrives as
+    at most one partial row per task, never as a hot groupBy key.  The md5
+    entity-id assignment runs on the merged (small) aggregate only.
+    Parity with ``canonicalize_triples`` over the instance-row path is pinned
+    by tests/operators/test_fused_scan.py.
+    """
+    final = (
+        partials.groupBy("subj_uid", "pred", "obj_uid")
+        .agg(F.sum("cnt").alias("n_support"))
+        .select(
+            F.md5(F.col("subj_uid")).alias("subj"),
+            F.col("pred"),
+            F.md5(F.col("obj_uid")).alias("obj"),
+            F.col("subj_uid").alias("subj_key"),
+            F.col("obj_uid").alias("obj_key"),
+            F.col("n_support"),
+        )
+    )
+    if output_partitions:
+        final = final.repartition(output_partitions, "subj")
+    return final
+
+
 def canonicalize_triples(
     relations: DataFrame,
     entity_components: DataFrame = None,

@@ -152,6 +152,24 @@ def write_tsv(splits: Dict[str, DataFrame], output_dir: str) -> Dict[str, int]:
     counts = {}
     for name, df in splits.items():
         path = f"{output_dir}/{name}.tsv"
-        df.select("line").write.mode("overwrite").text(path)
+        # an embedded newline would be written as multiple physical lines —
+        # silently corrupting the TSV and inflating the read-back counts.
+        # raise_error inside the write job fails loudly per offending row
+        # (no extra pass; linearize output is newline-free by construction,
+        # this guards hint_source-supplied text)
+        checked = df.select(
+            F.when(
+                F.col("line").contains("\n") | F.col("line").contains("\r"),
+                F.raise_error(
+                    F.concat(
+                        F.lit("write_tsv: line contains a newline: "),
+                        F.substring("line", 1, 80),
+                    )
+                ),
+            )
+            .otherwise(F.col("line"))
+            .alias("line")
+        )
+        checked.write.mode("overwrite").text(path)
         counts[name] = spark.read.text(path).count()
     return counts

@@ -22,8 +22,11 @@ Trade-offs (why this is NOT the default scan):
 Scale notes: the split table is tiny (one row per row group), so Spark's
 scheduling, task retry, speculative execution, and the downstream shuffle
 machinery all still apply; split granularity = row groups, the same unit
-the JVM scan parallelizes by.  On object stores the pyarrow filesystem
-layer streams ranges the same way the JVM reader does.
+the JVM scan parallelizes by.  The split LISTING currently supports local
+paths only (rejected loudly otherwise — see ``list_row_groups``); the
+worker-side reader already goes through pyarrow, whose filesystem layer
+streams object-store ranges the same way the JVM reader does, so the
+object-store gap is the driver-side listing alone.
 """
 
 from __future__ import annotations
@@ -36,13 +39,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 def list_row_groups(spark: SparkSession, path: str) -> List[tuple]:
     """(file, row_group_index) split list for a parquet directory —
-    driver-side metadata-only listing (footer reads, no data)."""
+    driver-side metadata-only listing (footer reads, no data).
+
+    Local filesystem paths only for now: the listing uses glob, so an
+    object-store URI (s3://...) would silently produce zero splits — it is
+    rejected loudly instead.  Extending to object stores means listing via
+    ``pyarrow.dataset``/``pyarrow.fs`` here; the worker-side reader below
+    already goes through ``pyarrow.parquet``, which speaks those
+    filesystems natively."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"arrow-native source lists splits via glob (local paths only); "
+            f"got {path!r} — use pyarrow.dataset-based listing for object stores"
+        )
+    files = sorted(glob.glob(os.path.join(path.removeprefix("file://"), "*.parquet")))
     splits = []
     for f in files:
         n = pq.ParquetFile(f).metadata.num_row_groups

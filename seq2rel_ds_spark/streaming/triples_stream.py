@@ -36,17 +36,28 @@ def start_triples_stream(
     checkpoint_path: str,
     salt_buckets: int = 16,
     available_now: bool = True,
+    relation_scan=None,
 ):
     """Start the incremental maintenance query; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in the source and
     stops (the batch-catchup trigger); pass False for a continuous run.
+
+    ``relation_scan`` (batch DataFrame -> relation rows) overrides the
+    default fused page scan — the epoch-append / replay-dedup / merge
+    machinery is scan-agnostic, and the override lets the correctness gate
+    drive it with a SQL-replicable derivation (the fused scan itself is
+    parity- and gate-audited separately).
     """
     from seq2rel_ds_spark.operators.mention import fused_relation_scan
     from seq2rel_ds_spark.operators.triples import canonicalize_triples
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        rel = fused_relation_scan(batch_df, dictionary_rows, predicates)
+        rel = (
+            relation_scan(batch_df)
+            if relation_scan is not None
+            else fused_relation_scan(batch_df, dictionary_rows, predicates)
+        )
         inc = canonicalize_triples(rel, salt_buckets=salt_buckets)
         (
             inc.withColumn("epoch_id", F.lit(int(epoch_id)))

@@ -57,8 +57,15 @@ class TestTrieDictionaryRegex:
         from hypothesis import given, settings
         from hypothesis import strategies as st
 
+        from seq2rel_ds_spark.operators.mention import _SENT_SPLIT
+
         alphabet = "ab .-+x"
-        word = st.text(alphabet=alphabet, min_size=1, max_size=6)
+        # surfaces containing a sentence boundary are a rejected input class
+        # now (enforced precondition of the single-pass scanner) — the
+        # equivalence property quantifies over the accepted domain
+        word = st.text(alphabet=alphabet, min_size=1, max_size=6).filter(
+            lambda s: not _SENT_SPLIT.search(s)
+        )
 
         @settings(max_examples=200, deadline=None)
         @given(
@@ -73,3 +80,20 @@ class TestTrieDictionaryRegex:
             assert got == want
 
         check()
+
+
+class TestBoundaryValidation:
+    def test_surface_with_sentence_boundary_rejected(self):
+        import pytest
+
+        from seq2rel_ds_spark.operators.mention import (
+            _compile_cue_pattern,
+            _compile_dictionary,
+        )
+
+        with pytest.raises(ValueError, match="sentence boundary"):
+            _compile_dictionary(["U.S. Army"])
+        with pytest.raises(ValueError, match="sentence boundary"):
+            _compile_cue_pattern(["causes. badly"])
+        # a dot NOT followed by whitespace is fine (no split can occur there)
+        _compile_dictionary(["node.js"])

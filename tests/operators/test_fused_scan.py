@@ -66,6 +66,52 @@ class TestFusedRelationScan:
         )
         assert jvm == arrow and len(jvm) > 0
 
+    def test_fused_combine_partials_equal_instance_path(self, spark, tmp_path):
+        """The fused-combine flagship path (map-side partial triple counts in
+        the Python task, final merge in Catalyst) must produce the identical
+        canonical triple table — keys AND n_support — as the instance-row
+        path through the salted two-phase aggregate, on BOTH scan sources."""
+        from seq2rel_ds_spark.operators.mention import (
+            fused_relation_scan,
+            fused_triple_partials,
+            fused_triple_partials_arrow,
+        )
+        from seq2rel_ds_spark.operators.triples import (
+            canonicalize_from_partials,
+            canonicalize_triples,
+        )
+        from seq2rel_ds_spark.sources import pages as pages_src
+
+        path = str(tmp_path / "pages")
+        pages_src.synthesize_pages(spark, 150, partitions=3).write.parquet(path)
+        pages = spark.read.parquet(path)
+        d = pages_src.dictionary_df(spark)
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in d.collect()
+        ]
+
+        def table(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        reference = table(
+            canonicalize_triples(
+                fused_relation_scan(pages, dict_rows, pages_src.PREDICATES), salt_buckets=8
+            )
+        )
+        combine_jvm = table(
+            canonicalize_from_partials(
+                fused_triple_partials(pages, dict_rows, pages_src.PREDICATES)
+            )
+        )
+        combine_arrow = table(
+            canonicalize_from_partials(
+                fused_triple_partials_arrow(
+                    spark, path, dict_rows, pages_src.PREDICATES, batch_size=64
+                )
+            )
+        )
+        assert reference == combine_jvm == combine_arrow and len(reference) > 0
+
     def test_core_link_semantics(self):
         from seq2rel_ds_spark.core.link import (
             build_dictionary,

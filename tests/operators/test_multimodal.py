@@ -37,7 +37,9 @@ class TestMultimodal:
         assert len(frames) == 20
         assert sorted({r["frame_idx"] for r in frames}) == [0, 2, 4, 6]
 
-    def test_real_codec_path_raises(self, spark):
+    def test_real_codec_path_raises_on_compressed(self, spark):
+        """Non-BMP/WAV blobs (i.e. anything needing a codec library) still
+        raise loudly without the deterministic fake."""
         from seq2rel_ds_spark.operators.multimodal import image_features, synthesize_media
 
         media = synthesize_media(spark, 2, kind="image")
@@ -46,3 +48,56 @@ class TestMultimodal:
         assert "NotImplementedError" in str(exc_info.value) or isinstance(
             exc_info.value, NotImplementedError
         )
+
+    def test_bmp_roundtrip(self):
+        """encode_bmp -> _decode_bmp is the identity on (w, h, pixels),
+        across padding widths (w%4 in {0,1,2,3}) and both odd/even heights."""
+        from seq2rel_ds_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+        for w, h in [(4, 3), (5, 4), (6, 5), (7, 2), (8, 1)]:
+            pix = bytes((w * 31 + y * 7 + x * 3 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+            assert _decode_bmp(encode_bmp(w, h, pix)) == (w, h, 3, pix)
+
+    def test_wav_roundtrip(self):
+        from seq2rel_ds_spark.operators.multimodal import _decode_wav, encode_wav
+
+        raw = [0, 1, -1, 32767, -32768, 1234, -4321]
+        rate, samples = _decode_wav(encode_wav(44100, raw))
+        assert rate == 44100
+        assert samples == [x / 32768.0 for x in raw]
+
+    def test_bmp_rejects_compressed_or_other_depth(self):
+        from seq2rel_ds_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+        blob = bytearray(encode_bmp(4, 2, bytes(24)))
+        blob[28] = 8  # bpp -> 8
+        with pytest.raises(NotImplementedError):
+            _decode_bmp(bytes(blob))
+
+    def test_real_decode_features_match_formula(self, spark):
+        """The real decode gate stage (image_features over actual BMP bytes,
+        deterministic_fake=False) recovers exactly the generative formula."""
+        from seq2rel_ds_spark.operators.multimodal import (
+            image_features,
+            synthesize_bmp_media,
+        )
+
+        rows = {
+            r["media_id"]: r
+            for r in image_features(
+                synthesize_bmp_media(spark, 8), deterministic_fake=False
+            ).collect()
+        }
+        for i in range(8):
+            w, h = 6 + i % 5, 4 + i % 4
+            pix = [
+                (i * 7 + y * 31 + x * 13 + c * 5) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            ]
+            r = rows[f"bmp-{i}"]
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+            assert r["mean_luma"] == round(sum(pix) / len(pix) / 255.0, 6)
+            bits = "".join("1" if b >= pix[0] else "0" for b in pix[:64])
+            assert r["phash"] == f"{int(bits, 2):016x}"

@@ -226,6 +226,18 @@ class TestSplit:
         parts = hash_split(df, "key", weights=(1 / 3, 1 / 3, 1 / 3))
         assert sum(v.count() for v in parts.values()) == 3000
 
+    def test_split_rejects_more_weights_than_names(self, spark):
+        """ADVICE r3: >3 weights used to silently drop tail buckets (rows
+        assigned to NO split); both split functions now raise instead."""
+        import pytest
+
+        from seq2rel_ds_spark.operators.split import hash_split, md5_split
+
+        df = spark.range(10).withColumnRenamed("id", "key")
+        for fn in (hash_split, md5_split):
+            with pytest.raises(ValueError, match="at most 3 splits"):
+                fn(df, "key", weights=(0.25, 0.25, 0.25, 0.25))
+
     def test_md5_split_covers_and_is_stable(self, spark):
         """Engine-portable md5 split: every row in exactly one split,
         ~weight-proportional sizes, identical assignment on re-run, and the
