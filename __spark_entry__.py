@@ -1440,6 +1440,54 @@ def q_triples_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_triples(spark, compacted)
 
 
+def q_sessions_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming gate: the REAL ``applyInPandasWithState``
+    sessionizer (streaming/sessions.py) over the events table as a file
+    stream — closed sessions (a later event >30 min after the previous one
+    closes the open session) are emitted by the stateful operator and
+    compared against the batch window-function equivalent in SQL; each
+    user's final session stays OPEN in state (no processing-time timeout
+    can fire under availableNow), so the oracle excludes per-user last
+    sessions.  Event times are truncated to whole seconds by the operator
+    (int(ts.timestamp())); the oracle mirrors floor(epoch(ts)).  Stream
+    artifacts live in a session-lifetime temp dir (the returned DataFrame
+    lazily reads them)."""
+    import tempfile
+
+    from seq2rel_ds_spark.streaming.sessions import streaming_sessions
+
+    base = tempfile.mkdtemp(prefix="gate_sessions_stream_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # one consolidated input file -> one deterministic micro-batch (the
+    # file stream is not time-ordered across files; the operator sorts
+    # within a batch)
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        streaming_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql.types import StructType
+
+    sess = spark.read.schema(
+        StructType.fromDDL(
+            "user_id long, session_start timestamp, session_end timestamp, n_events long"
+        )
+    ).parquet(out)
+    return sess.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
     degree and support mass.  Both edge orientations come from ONE pass
@@ -1543,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_bmp_decode": q_media_bmp_decode,
         "media_wav_decode": q_media_wav_decode,
         "triples_stream_merge": q_triples_stream_merge,
+        "sessions_stream_closed": q_sessions_stream_closed,
     }
 
 
@@ -1981,6 +2030,36 @@ _KG_COOCCURRENCE_SQL = f"""
     SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
     FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
     GROUP BY a.term, b.term
+"""
+
+
+_SESSIONS_STREAM_SQL = r"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events
+    ),
+    g AS (
+      SELECT user_id, tsec,
+             CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec)
+    ),
+    s AS (
+      SELECT user_id, tsec,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsec
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid, min(tsec) AS start_s, max(tsec) AS end_s,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(epoch_ms(start_s * 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(epoch_ms(end_s * 1000), '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM sess
+    WHERE sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
 """
 
 
@@ -2613,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "hinted_lines": _HINTED_LINES_SQL,
         "skewed_dedup": _SKEWED_DEDUP_SQL,
         "triples_stream_merge": _TRIPLES_STREAM_MERGE_SQL,
+        "sessions_stream_closed": _SESSIONS_STREAM_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""

@@ -262,65 +262,68 @@ def _hw_ceiling(cores_low: int, cores_high: int) -> float:
     return round(t_low / t_high, 3) if t_high else 1.0
 
 
-def _kernel_worker(n_docs: int, q) -> None:
-    """One pinned process running the flagship's pure-Python per-doc kernel
-    (extract -> scan -> link -> select) with zero engine around it."""
-    import re as _re
+def _kernel_worker(files: list, batch_size: int, q) -> None:
+    """One pinned process running the flagship's EXACT task body — pyarrow
+    row-group read + the fused triple-partial processor — over real
+    generated pages files, with zero engine around it (no Spark, no JVM,
+    no IPC).  Setup (imports, dictionary compile) happens before the
+    clock."""
+    import pyarrow.parquet as pq
 
-    from seq2rel_ds_spark.core.link import (
-        build_dictionary,
-        link_doc_mentions,
-        select_relations,
-    )
-    from seq2rel_ds_spark.operators.extract import extract_text_from_html
-    from seq2rel_ds_spark.operators.mention import _compile_dictionary, _scan_doc
-    from seq2rel_ds_spark.sources.pages import (
-        PREDICATES,
-        _compose_doc,
-        _render_html,
-        knowledge_base,
-    )
+    from seq2rel_ds_spark.operators.mention import make_triple_partial_processor
+    from seq2rel_ds_spark.sources.pages import PREDICATES, knowledge_base
 
     entities, _ = knowledge_base()
     dict_rows = [
         (s, e["uid"], e["label"], i == 0) for e in entities for i, s in enumerate(e["surfaces"])
     ]
-    dictionary = build_dictionary(dict_rows)
-    pat = _compile_dictionary(list(dictionary), ascii_boundaries=True)
-    preds = PREDICATES
-    cue_pat = _re.compile(
-        r"\b(" + "|".join(_re.escape(w) for w in sorted(preds)) + r")\b", _re.ASCII
-    )
-    docs = [_render_html(*_compose_doc(i, entities)[:2]) for i in range(5000)]
+    proc = make_triple_partial_processor(dict_rows, PREDICATES, ascii_boundaries=True)
     t0 = time.time()
-    done = 0
-    while done < n_docs:
-        for h in docs:
-            text = extract_text_from_html(bytes(h))
-            rm, rc = _scan_doc(text, pat, cue_pat)
-            mentions = [(si, s, e, tok) for si, _ss, s, e, tok in rm]
-            cues = [(si, s, preds[w]) for si, _ss, s, _e, w in rc]
-            select_relations(link_doc_mentions(mentions, dictionary), cues)
-        done += len(docs)
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for rb in pf.iter_batches(
+            batch_size=batch_size, columns=["url", "html"], use_threads=False
+        ):
+            for _ in proc(rb.to_pandas()):
+                pass
     q.put(time.time() - t0)
 
 
-def _kernel_ceiling(cores_low: int, cores_high: int, docs_per_proc: int = 30000) -> float:
-    """Workload-realistic scaling ceiling: the flagship's per-doc kernel as
-    plain pinned processes — no Spark, no JVM, no IPC.  An engine can at
-    best match this ratio, so it bounds achievable raw scaling efficiency
-    more honestly than the ALU busy-loop (which ignores memory/allocator
-    contention; measured gap up to 0.86 ALU vs 0.62 kernel in one window).
-    Caveat measured on this VM: BOTH probes swing +-0.15 between minutes
-    with co-tenant load — single-shot values contextualize, they don't
-    calibrate; the paired-run methodology is what controls for noise.
+def _kernel_ceiling(
+    cores_low: int, cores_high: int, pages_path: str, n_files: int = 64
+) -> float:
+    """Workload-TRUE scaling ceiling: the flagship's exact task body
+    (pyarrow decode + extract + scan + link + select + partial combine)
+    over the same generated pages bytes, as plain pinned OS processes.
+    An engine can at best match this ratio, so it bounds achievable raw
+    scaling efficiency.
+
+    Round-4 finding that motivated making this probe use the REAL corpus
+    and the REAL task body: a synthetic 5k-doc in-cache loop measured
+    0.91 where the true workload (2.56M distinct docs streamed through
+    pandas/pyarrow) measured 0.60-0.76 in the same windows — the real
+    working set is memory-bound at 32 cores, the cache-resident synthetic
+    one is not.  The engine's measured pairs match this true ceiling to
+    within ~10% (BENCH.md round-4 stage isolation), i.e. the residual
+    single-box gap is the workload's, not the engine's.  Both probes still
+    swing with co-tenant load — single-shot values contextualize, the
+    paired-run methodology controls for noise.
     """
+    import glob as _glob
     import multiprocessing as mp
     import os as _os
 
+    files = sorted(_glob.glob(_os.path.join(pages_path, "*.parquet")))[:n_files]
+    if not files:
+        return 1.0
+    batch = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"))
+
     def level(n_procs: int) -> float:
+        chunks = [files[i::n_procs] for i in range(n_procs)]
         q = mp.Queue()
-        ps = [mp.Process(target=_kernel_worker, args=(docs_per_proc, q)) for _ in range(n_procs)]
+        ps = [
+            mp.Process(target=_kernel_worker, args=(c, batch, q)) for c in chunks if c
+        ]
         for i, p in enumerate(ps):
             p.start()
             try:
@@ -330,11 +333,15 @@ def _kernel_ceiling(cores_low: int, cores_high: int, docs_per_proc: int = 30000)
         times = [q.get() for _ in ps]
         for p in ps:
             p.join()
-        return sum(times) / len(times)
+        return max(times)  # wall-like: the level is done when its last worker is
 
+    # both levels chew the SAME total bytes, so t_low/t_high is the raw
+    # speedup; dividing by the core ratio yields the ceiling EFFICIENCY —
+    # directly comparable to the engine's scaling_efficiency
     t_low = level(cores_low)
     t_high = level(cores_high)
-    return round(t_low / t_high, 3) if t_high else 1.0
+    ratio = cores_high / cores_low if cores_low else 1.0
+    return round((t_low / t_high) / ratio, 3) if t_high else 1.0
 
 
 def _spawn_kg(cores: int, pages_path: str) -> dict:
@@ -446,7 +453,6 @@ def main() -> None:
     # legs/generation under residual load biases them and breaks the
     # contamination test (probe ratios < 1 in the record = late calibration)
     ceiling = _hw_ceiling(cores_low, cpus)
-    kernel_ceiling = _kernel_ceiling(cores_low, cpus)
     probe_calib = min(_busy_probe(), _busy_probe())
 
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
@@ -463,6 +469,10 @@ def main() -> None:
         pages_path + "_warmup"
     )
     spark.stop()
+    # workload-true ceiling needs the generated bytes, so it runs here —
+    # after the JVM is down and a short settle, before the legs
+    time.sleep(3)
+    kernel_ceiling = _kernel_ceiling(cores_low, cpus, pages_path)
 
     # Run the two levels back-to-back within each ROUND and compute
     # efficiency per pair: the sandbox VM has hour-scale thermal/turbo and
@@ -473,7 +483,7 @@ def main() -> None:
     # pass the steal%%/probe gates; the recorded scaling_efficiency is the
     # best clean pair, with the median clean pair and all raw runs reported.
     target_pairs = int(os.environ.get("SPARK_GRAFT_KG_PAIRS", "6"))
-    kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "400"))
+    kg_budget = int(os.environ.get("SPARK_GRAFT_KG_BUDGET_SEC", "480"))
     kg_t0 = time.time()
     ratio = cpus / cores_low
 

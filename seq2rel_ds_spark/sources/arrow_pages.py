@@ -95,8 +95,14 @@ def scan_parquet_python(
         for pdf in batches:
             for f, g in zip(pdf["file"], pdf["row_group"]):
                 pf = pq.ParquetFile(f)
+                # use_threads=False: each Python worker owns ~one core of the
+                # executor's budget already — pyarrow's default per-reader
+                # thread pool (os.cpu_count() threads PER worker) would
+                # oversubscribe the box N-fold at high parallelism, measured
+                # as 35% wall variance on steal-free 32-core legs
                 for rb in pf.iter_batches(
-                    batch_size=batch_size, row_groups=[int(g)], columns=columns
+                    batch_size=batch_size, row_groups=[int(g)], columns=columns,
+                    use_threads=False,
                 ):
                     yield from process(rb.to_pandas())
 

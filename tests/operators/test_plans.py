@@ -124,6 +124,29 @@ class TestRelationalPlans:
         plan = _plan(em.q_token_postings(spark, SF))
         assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange")[0]
 
+    def test_fused_combine_single_exchange(self, spark):
+        """The round-4 flagship topology (scan-fused partial triple counts ->
+        Catalyst final merge): the physical plan must contain exactly ONE
+        Exchange (the final aggregate over pre-combined partials) with a
+        partial HashAggregate before it — any second shuffle or a plan that
+        ships instance rows would regress the one-shuffle design."""
+        from seq2rel_ds_spark.operators.mention import fused_triple_partials
+        from seq2rel_ds_spark.operators.triples import canonicalize_from_partials
+        from seq2rel_ds_spark.sources import pages as pages_src
+
+        pages = pages_src.synthesize_pages(spark, 30, partitions=2)
+        d = pages_src.dictionary_df(spark)
+        dict_rows = [
+            (r["surface"], r["uid"], r["label"], r["is_canonical"]) for r in d.collect()
+        ]
+        plan = _plan(
+            canonicalize_from_partials(
+                fused_triple_partials(pages, dict_rows, pages_src.PREDICATES)
+            )
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "HashAggregate" in plan.split("Exchange")[0], plan
+
     def test_no_scale_killers_in_any_gate_entry(self, spark):
         """Every gated entry's physical plan must be free of all-pairs join
         shapes.  ann_topk is the one documented exception: its query side is
