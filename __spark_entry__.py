@@ -1488,6 +1488,63 @@ def q_sessions_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed-aggregation streaming gate: the real
+    ``streaming_crawl_metrics`` (streaming/pages_stream.py — event-time
+    10-minute windows per language with a 30-minute watermark) over a
+    deterministic pages stream derived from the documents table, drained
+    file-by-file with availableNow into a complete-mode memory sink; the
+    oracle recomputes the same windows batch in SQL (epoch-aligned
+    10-minute buckets).  warc_ts = 2024-01-01T00:00Z + (doc_id % 600)
+    minutes, lang = round-robin en/de/fr, so window boundaries and late
+    arrivals are fully closed-form."""
+    import tempfile
+    import uuid
+
+    from seq2rel_ds_spark.streaming.pages_stream import (
+        read_pages_stream,
+        streaming_crawl_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 600) * 60
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    base = tempfile.mkdtemp(prefix="gate_crawl_stream_")
+    src, ck = f"{base}/src", f"{base}/ck"
+    for e in range(3):  # three file drops -> three micro-batches
+        pages.filter(F.col("url").cast("long") % 3 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    qname = "crawl_metrics_" + uuid.uuid4().hex[:12]
+    q = (
+        streaming_crawl_metrics(read_pages_stream(spark, src, max_files=1))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "lang",
+        "n_pages",
+        "n_chars",
+    )
+
+
 def q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics over the materialized co-occurrence graph: per-node
     degree and support mass.  Both edge orientations come from ONE pass
@@ -1592,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": q_media_wav_decode,
         "triples_stream_merge": q_triples_stream_merge,
         "sessions_stream_closed": q_sessions_stream_closed,
+        "crawl_stream_metrics": q_crawl_stream_metrics,
     }
 
 
@@ -2030,6 +2088,23 @@ _KG_COOCCURRENCE_SQL = f"""
     SELECT a.term AS subj, b.term AS obj, count(*) AS n_docs
     FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
     GROUP BY a.term, b.term
+"""
+
+
+_CRAWL_STREAM_SQL = r"""
+    WITH p AS (
+      SELECT doc_id,
+             1704067200 + (doc_id % 600) * 60 AS ts_s,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  ELSE 'fr' END AS lang,
+             len(text) AS chars
+      FROM documents
+    ),
+    w AS (SELECT ts_s - (ts_s % 600) AS ws, lang, chars FROM p)
+    SELECT strftime(epoch_ms(ws * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(epoch_ms((ws + 600) * 1000), '%Y-%m-%d %H:%M:%S') AS window_end,
+           lang, count(*) AS n_pages, CAST(sum(chars) AS BIGINT) AS n_chars
+    FROM w GROUP BY 1, 2, 3
 """
 
 
@@ -2693,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         "skewed_dedup": _SKEWED_DEDUP_SQL,
         "triples_stream_merge": _TRIPLES_STREAM_MERGE_SQL,
         "sessions_stream_closed": _SESSIONS_STREAM_SQL,
+        "crawl_stream_metrics": _CRAWL_STREAM_SQL,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""

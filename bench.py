@@ -24,7 +24,7 @@ round-1 record):
   * legs are long (default 2.56M docs) so a steal burst is amortized
   * every leg is instrumented: /proc/stat steal%% measured over exactly the
     leg's window, plus a busy-loop probe sandwich compared against a quiet
-    calibration — a leg with steal%% > 2.0 or probe ratio > 1.4x is marked
+    calibration — a leg with steal%% > 2.0 or probe ratio > 1.25x is marked
     contaminated and the pair is re-run while the wall budget lasts
   * the two levels run back-to-back within each round (order alternating),
     and efficiency is computed per PAIR — both legs from the same thermal/
@@ -421,9 +421,14 @@ def _measured_kg(cores: int, pages_path: str, probe_calib: float) -> dict:
     probe_ratio = max(p0, p1) / probe_calib if probe_calib else 1.0
     r["steal_pct"] = round(steal_pct, 2)
     r["probe_ratio"] = round(probe_ratio, 2)
+    # probe gate tightened 1.4 -> 1.25 (round 4): a campaign recorded
+    # "clean" high legs with probe ratios 1.37-1.40 that ran 2x their
+    # quiet-window wall — co-tenant load lands disproportionately on the
+    # all-cores leg (on the low leg the thief runs on the 24 idle cores),
+    # so a loose probe gate systematically deflates measured scaling
     r["contaminated"] = steal_pct > float(
         os.environ.get("SPARK_GRAFT_STEAL_PCT_MAX", "2.0")
-    ) or probe_ratio > 1.4
+    ) or probe_ratio > float(os.environ.get("SPARK_GRAFT_PROBE_RATIO_MAX", "1.25"))
     return r
 
 
@@ -526,11 +531,25 @@ def main() -> None:
             lo_r, hi_r = legs.get(cores_low), legs.get(cpus)
             if lo_r is None or hi_r is None:
                 continue
+            # same-window workload ceiling: the exact task body as pinned
+            # processes, measured right after this pair's legs — each pair
+            # carries the bound ANY engine could have hit under the same
+            # co-tenant/thermal conditions (a start-of-run snapshot drifts
+            # within minutes on this box)
+            # 64 files = 2+ per proc at the high level: a 32-file probe gave
+            # one ~0.8s file per proc where start-skew dominates (observed
+            # nonsense ratios > 1)
+            pair_ceiling = _kernel_ceiling(cores_low, cpus, pages_path, n_files=64)
+            eff_val = round(pair_eff(lo_r, hi_r), 3)
             pairs.append(
                 {
                     "lo": lo_r,
                     "hi": hi_r,
-                    "efficiency": round(pair_eff(lo_r, hi_r), 3),
+                    "efficiency": eff_val,
+                    "kernel_ceiling": pair_ceiling,
+                    "eff_vs_ceiling": round(eff_val / pair_ceiling, 3)
+                    if pair_ceiling
+                    else 0.0,
                     "clean": not (lo_r["contaminated"] or hi_r["contaminated"]),
                 }
             )
@@ -544,6 +563,8 @@ def main() -> None:
                     "lo": lo_f,
                     "hi": hi_f,
                     "efficiency": round(pair_eff(lo_f, hi_f), 3),
+                    "kernel_ceiling": None,
+                    "eff_vs_ceiling": None,
                     "clean": False,
                 }
             ]
@@ -607,6 +628,8 @@ def main() -> None:
                     "seconds_low": p["lo"]["seconds"],
                     "seconds_high": p["hi"]["seconds"],
                     "efficiency": p["efficiency"],
+                    "kernel_ceiling": p.get("kernel_ceiling"),
+                    "eff_vs_ceiling": p.get("eff_vs_ceiling"),
                     "clean": p["clean"],
                 }
                 for p in pairs
@@ -615,6 +638,12 @@ def main() -> None:
             "no_clean_pair": not clean_pairs,
             "n_inflation_eligible_pairs": len(eligible),
             "best_clean_pair_efficiency": round(eff, 3),
+            # the chosen pair's own same-window workload ceiling and the
+            # engine's fraction of it — the cluster-relevant verdict (real
+            # N->4N adds machines; the single-box memory coupling that sets
+            # the ceiling does not exist there)
+            "best_pair_kernel_ceiling": best.get("kernel_ceiling"),
+            "best_pair_eff_vs_ceiling": best.get("eff_vs_ceiling"),
             "median_clean_pair_efficiency": median_eff,
             "probe_calib_sec": round(probe_calib, 3),
             "throughput_low": round(thr_lo, 2),

@@ -83,3 +83,24 @@ class TestHintSource:
         out = apply_hint_source(parsed, hints)
         rows = out.select("doc_id", "text").collect()
         assert len(rows) == 1 and rows[0]["text"].startswith("HINTED")
+
+
+class TestWriteTsvGuard:
+    def test_embedded_newline_raises(self, spark, tmp_path):
+        """write_tsv must fail loudly (raise_error in the write job) when a
+        line contains an embedded newline — silently writing it would split
+        one logical row across physical lines and corrupt the TSV."""
+        import pytest
+
+        from seq2rel_ds_spark.plans.corpora import write_tsv
+
+        bad = spark.createDataFrame([("ok line",), ("bad\nline",)], "line string")
+        with pytest.raises(Exception, match="newline"):
+            write_tsv({"train": bad}, str(tmp_path / "out"))
+
+    def test_clean_lines_roundtrip(self, spark, tmp_path):
+        from seq2rel_ds_spark.plans.corpora import write_tsv
+
+        ok = spark.createDataFrame([("a\tb",), ("c\td",)], "line string")
+        counts = write_tsv({"train": ok}, str(tmp_path / "out"))
+        assert counts == {"train": 2}
