@@ -282,7 +282,7 @@ def _kernel_worker(files: list, batch_size: int, q) -> None:
     for f in files:
         pf = pq.ParquetFile(f)
         for rb in pf.iter_batches(
-            batch_size=batch_size, columns=["url", "html"], use_threads=False
+            batch_size=batch_size, columns=["html"], use_threads=False
         ):
             for _ in proc(rb.to_pandas()):
                 pass
