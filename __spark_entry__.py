@@ -1589,6 +1589,99 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the undirected
+    co-occurrence graph — the canonical iterative graph job the materialized
+    KG feeds (entity salience / seed ranking for KG curation).
+
+    Distributed shape: per iteration ONE shuffle (groupBy dst) plus a join
+    keyed on src against the static degree-annotated edge list — the
+    standard Pregel-style PageRank data flow expressed in DataFrames.  The
+    node count attaches via crossJoin(broadcast(1-row aggregate)) — a
+    BroadcastNestedLoopJoin whose inner side is a single row is O(rows)
+    with no shuffle at any scale (sweep-allowlisted beside ann_topk; a
+    constant-key equi-join is folded to the same shape by Catalyst
+    anyway).  Iterations are a fixed unrolled 3 here so the oracle can
+    recompute them as unrolled SQL CTEs; the production variant would
+    localCheckpoint every ~5 rounds like operators/cluster.py does for
+    connected components (same lineage-growth reasoning).  No dangling
+    nodes by construction: the undirected doubling gives every node
+    out-degree >= 1."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    und = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    edges = und.join(deg, "src")
+
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n_nodes")).alias("rank"),
+    )
+    for _ in range(3):
+        contrib = edges.join(
+            ranks, edges["src"] == ranks["node"]
+        ).select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic relevance/quality
+    signal a training-data pipeline derives from its inverted index
+    (q_token_postings computes the df side of exactly this).
+
+    tf and df are plain partial-aggregated groupBys; idf = ln(N/df) stays
+    JVM-side; ranking is one row_number window per doc over the ROUNDED
+    score (both engines rank the same 6-dp value, so a last-ulp libm
+    difference in ln cannot flip cross-engine ordering) with token as the
+    deterministic tie-break.  The corpus size attaches via
+    crossJoin(broadcast(1-row aggregate)) — single-row inner side, scale-
+    safe BNLJ (sweep-allowlisted)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1641,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree": q_kg_degree,
         "kg_two_hop": q_kg_two_hop,
         "kg_triangles": q_kg_triangles,
+        "kg_pagerank": q_kg_pagerank,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
         "skewed_dedup": q_skewed_dedup,
@@ -2804,6 +2899,71 @@ def oracle_sql() -> dict[str, str]:
             FROM co ab
             JOIN co bc ON ab.obj = bc.subj
             JOIN co ac ON ab.subj = ac.subj AND bc.obj = ac.obj
+        """,
+        # unrolled 3-iteration PageRank: each rN CTE is one Spark iteration
+        # (join on src + groupBy dst); double-precision arithmetic matches
+        # the engine op-for-op (IEEE division/multiply/add; no libm)
+        "kg_pagerank": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            und AS (
+              SELECT subj AS src, obj AS dst FROM co
+              UNION ALL
+              SELECT obj AS src, subj AS dst FROM co
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+            nn AS (SELECT count(*) AS n_nodes FROM deg),
+            r0 AS (
+              SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM nn) AS rank
+              FROM deg
+            ),
+            r1 AS (
+              SELECT u.dst AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n_nodes FROM nn)
+                       + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+              FROM und u JOIN deg d ON u.src = d.src JOIN r0 r ON u.src = r.node
+              GROUP BY u.dst
+            ),
+            r2 AS (
+              SELECT u.dst AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n_nodes FROM nn)
+                       + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+              FROM und u JOIN deg d ON u.src = d.src JOIN r1 r ON u.src = r.node
+              GROUP BY u.dst
+            ),
+            r3 AS (
+              SELECT u.dst AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n_nodes FROM nn)
+                       + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+              FROM und u JOIN deg d ON u.src = d.src JOIN r2 r ON u.src = r.node
+              GROUP BY u.dst
+            )
+            SELECT node, ROUND(rank, 6) AS pagerank FROM r3
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, t AS token
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+            dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            nn AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                     ROUND(tf.tf * ln(CAST((SELECT n_docs FROM nn) AS DOUBLE) / dft.df), 6)
+                       AS score
+              FROM tf JOIN dft USING (token)
+            )
+            SELECT doc_id, token, tf, df, score, CAST(rk AS INTEGER) AS rk
+            FROM (
+              SELECT s.*,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, token ASC
+                     ) AS rk
+              FROM s
+            )
+            WHERE rk <= 3
         """,
         "token_postings": """
             WITH tok AS (

@@ -149,13 +149,16 @@ class TestRelationalPlans:
 
     def test_no_scale_killers_in_any_gate_entry(self, spark):
         """Every gated entry's physical plan must be free of all-pairs join
-        shapes.  ann_topk is the one documented exception: its query side is
-        10 vectors by construction (the exact brute-force baseline), so its
-        BroadcastNestedLoopJoin is bounded — the general shape is lsh_topk,
-        which this test does cover."""
+        shapes.  Documented exceptions, each bounded by construction:
+        ann_topk's query side is 10 vectors (the exact brute-force
+        baseline — the general shape is lsh_topk, which this test does
+        cover); kg_pagerank and tfidf_top_terms attach a 1-ROW broadcast
+        scalar aggregate (node/corpus count) via crossJoin — a BNLJ whose
+        inner side is a single row is O(rows), shuffle-free at any scale
+        (and a constant-key equi-join folds to the same shape)."""
         import __spark_entry__ as em
 
-        allowed_bnlj = {"ann_topk"}
+        allowed_bnlj = {"ann_topk", "kg_pagerank", "tfidf_top_terms"}
         for name, fn in em.queries().items():
             plan = _plan(fn(spark, SF))
             assert "CartesianProduct" not in plan, name
