@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "kg_triples",
     "kg_two_hop",
+    "kg_pagerank",
+    "tfidf_top_terms",
 ]
 
 
