@@ -1318,6 +1318,44 @@ def q_skewed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(skewed, salt_buckets=32)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_conf(spark: SparkSession, n_partitions: int = 4):
+    """Pin a small state/shuffle partition count around a streaming gate.
+
+    The state store captures ``spark.sql.shuffle.partitions`` at query
+    start, and streaming exchanges are exempt from AQE coalescing — so a
+    10k-row gate stream under a 16-32-partition session runs 16-32 state
+    tasks (each a python-worker round trip for stateful pandas ops) per
+    micro-batch.  4 partitions is the right size for the gate inputs; the
+    production path keeps the session default.  The session value is
+    restored even on failure (the gates share one driver session)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _drain_and_stop(q, timeout: int = 300) -> None:
+    """Wait until every available input row is committed to the sink, then
+    STOP the query.  ``awaitTermination(t)`` alone is wrong for stateful
+    queries with processing-time timeouts: availableNow keeps firing empty
+    micro-batches to check timeouts that a drained source can never
+    advance, so the query never terminates — the old sessions gate burned
+    exactly its 300s timeout and then LEAKED the spinning query into the
+    shared session, inflating every later query's timing (the round-4
+    driver-window regression)."""
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(timeout)
+
+
 def q_hinted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/J7 gate: the reference's "pipeline" entity-hinting semantics
     (util.py:256-274) — a document WITHOUT an externally-hinted text row is
@@ -1425,14 +1463,17 @@ def q_triples_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.filter(F.col("url").cast("long") % 4 == e).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    stream = (
-        spark.readStream.schema(rel.schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    q = start_triples_stream(
-        stream, [], {}, inc, ck, salt_buckets=4, available_now=True,
-        relation_scan=lambda df: df,
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        stream = (
+            spark.readStream.schema(rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_triples_stream(
+            stream, [], {}, inc, ck, salt_buckets=4, available_now=True,
+            relation_scan=lambda df: df,
+        )
+        _drain_and_stop(q)
     incdf = spark.read.parquet(inc)
     last = incdf.agg(F.max("epoch_id")).first()[0]
     incdf.filter(F.col("epoch_id") == last).write.mode("append").parquet(inc)
@@ -1463,16 +1504,21 @@ def q_sessions_stream_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file stream is not time-ordered across files; the operator sorts
     # within a batch)
     ev.coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema(ev.schema).parquet(src)
-    q = (
-        streaming_sessions(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            # idle_timeout=False: bounded drain — with the production
+            # processing-time timeout registered, availableNow never
+            # self-terminates (see streaming_sessions docstring); the
+            # timeout branch cannot fire in this drain either way
+            streaming_sessions(stream, idle_timeout=False)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_and_stop(q)
     from pyspark.sql.types import StructType
 
     sess = spark.read.schema(
@@ -1526,22 +1572,78 @@ def q_crawl_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(src)
     qname = "crawl_metrics_" + uuid.uuid4().hex[:12]
-    q = (
-        streaming_crawl_metrics(read_pages_stream(spark, src, max_files=1))
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_conf(spark):
+        q = (
+            streaming_crawl_metrics(read_pages_stream(spark, src, max_files=1))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_and_stop(q)
     return spark.table(qname).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
         "lang",
         "n_pages",
         "n_chars",
+    )
+
+
+def q_pipeline_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume gate: the REAL ``plans.pipeline.Pipeline`` stage
+    runner (manifest + _SUCCESS commits, fingerprint match, idempotent
+    skip-if-complete, per-partition lineage) driven end-to-end — a 2-stage
+    plan over the documents table runs once (both stages execute), then a
+    FRESH Pipeline over the same root re-runs it: run 2 must skip both
+    stages and re-read identical rows, and the lineage log must hold
+    exactly ONE append per stage (a resume that silently re-executed would
+    double the lineage mass and flip the skipped flags).  The oracle
+    restates the per-stage row counts in SQL and pins the skip flags; the
+    returned metrics come from real manifests/lineage files, so any resume
+    bug changes the emitted values, not just an internal assertion."""
+    import tempfile
+
+    from seq2rel_ds_spark.plans.pipeline import Pipeline
+
+    base = tempfile.mkdtemp(prefix="gate_pipeline_resume_")
+    docs = _t(spark, sf_dir, "documents")
+
+    def stage_filtered(outputs):
+        return docs.select("doc_id", "text").filter(F.col("doc_id") % 7 != 0)
+
+    def stage_char_agg(outputs):
+        return (
+            outputs["filtered"]
+            .select((F.col("doc_id") % 10).alias("bucket"), F.length("text").alias("n"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_chars"))
+        )
+
+    runs = []
+    for _ in range(2):
+        p = Pipeline(spark, base, run_fingerprint="gate-v1")
+        p.stage("filtered", stage_filtered)
+        p.stage("char_agg", stage_char_agg)
+        runs.append(p)
+    lin = {
+        r["stage"]: r["rows"]
+        for r in runs[1]
+        .lineage()
+        .groupBy("stage")
+        .agg(F.sum("rows").alias("rows"))
+        .collect()
+    }
+    rows = [
+        (r1.name, bool(r1.skipped), int(r1.rows), bool(r2.skipped), int(r2.rows), int(lin[r1.name]))
+        for r1, r2 in zip(runs[0].results, runs[1].results)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, run1_skipped boolean, run1_rows long, "
+        "run2_skipped boolean, run2_rows long, lineage_rows long",
     )
 
 
@@ -1745,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_stream_merge": q_triples_stream_merge,
         "sessions_stream_closed": q_sessions_stream_closed,
         "crawl_stream_metrics": q_crawl_stream_metrics,
+        "pipeline_resume": q_pipeline_resume,
     }
 
 
@@ -2864,6 +2967,29 @@ def oracle_sql() -> dict[str, str]:
         "triples_stream_merge": _TRIPLES_STREAM_MERGE_SQL,
         "sessions_stream_closed": _SESSIONS_STREAM_SQL,
         "crawl_stream_metrics": _CRAWL_STREAM_SQL,
+        # run-1 executes (skipped=false), run-2 resumes (skipped=true) with
+        # identical rows; lineage mass per stage == the stage's row count
+        # (one append per stage — a re-execution would double it).  Row
+        # counts are re-derived from the documents table, so only the skip
+        # flags are pinned literals.
+        "pipeline_resume": """
+            WITH f AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+            a AS (
+              SELECT doc_id % 10 AS bucket, count(*) AS n_docs, sum(length(text)) AS n_chars
+              FROM f GROUP BY doc_id % 10
+            )
+            SELECT 'filtered' AS stage, FALSE AS run1_skipped,
+                   (SELECT count(*) FROM f) AS run1_rows,
+                   TRUE AS run2_skipped,
+                   (SELECT count(*) FROM f) AS run2_rows,
+                   (SELECT count(*) FROM f) AS lineage_rows
+            UNION ALL
+            SELECT 'char_agg', FALSE,
+                   (SELECT count(*) FROM a),
+                   TRUE,
+                   (SELECT count(*) FROM a),
+                   (SELECT count(*) FROM a)
+        """,
         "kg_mentions": _KG_MENTIONS_SQL,
         "kg_cooccurrence": _KG_COOCCURRENCE_SQL,
         "kg_triples": f"""
@@ -2901,8 +3027,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN co ac ON ab.subj = ac.subj AND bc.obj = ac.obj
         """,
         # unrolled 3-iteration PageRank: each rN CTE is one Spark iteration
-        # (join on src + groupBy dst); double-precision arithmetic matches
-        # the engine op-for-op (IEEE division/multiply/add; no libm)
+        # (join on src + groupBy dst).  Both engines use IEEE double
+        # division/multiply/add (no libm), but per-node contribution sums
+        # are order-dependent float reductions and Spark's shuffle
+        # aggregation order need not match DuckDB's — cross-engine
+        # agreement relies on the round(...,6) absorbing summation-order
+        # ulp differences, not on op-for-op identical arithmetic
         "kg_pagerank": f"""
             WITH co AS ({_KG_COOCCURRENCE_SQL}),
             und AS (

@@ -424,12 +424,13 @@ def _measured_kg(
     """One leg + its noise instrumentation: /proc/stat steal%% over exactly
     the leg's window and a busy-probe sandwich vs quiet calibration.
 
-    ``steal_max`` overrides the steal gate for this leg.  Low-core legs get
-    a STRICTER default gate (half): a hypervisor co-tenant visible as
-    steal%% also consumes host memory bandwidth/LLC, which slows a pinned
-    few-core leg while the unpinned ALU probe (running on the many idle
-    vCPUs) sees nothing — a campaign recorded a 4-core leg 35%% slow at
-    steal 1.93%%, probe 1.23, which then read as a >1 scaling ratio."""
+    ``steal_max`` overrides the steal gate for this leg.  Callers pass a
+    STRICTER gate (1.0) for low-core legs — it is caller-supplied, not a
+    default applied here: a hypervisor co-tenant visible as steal%% also
+    consumes host memory bandwidth/LLC, which slows a pinned few-core leg
+    while the unpinned ALU probe (running on the many idle vCPUs) sees
+    nothing — a campaign recorded a 4-core leg 35%% slow at steal 1.93%%,
+    probe 1.23, which then read as a >1 scaling ratio."""
     p0 = _busy_probe()
     s0, t0 = _read_cpu_times()
     r = _spawn_kg(cores, pages_path)
@@ -672,7 +673,14 @@ def main() -> None:
                     continue
                 max_runs.append(r)
                 if not r["contaminated"]:
-                    r_lo = _measured_kg(legacy_low, pages_path, probe_calib)
+                    # legacy low leg follows the headline-pair protocol:
+                    # quiet-window hold + the stricter low-core steal gate
+                    # (ADVICE r4 — it used to be judged by the looser
+                    # full-width standard)
+                    _wait_for_quiet(probe_calib, time.time() + 20)
+                    r_lo = _measured_kg(
+                        legacy_low, pages_path, probe_calib, steal_max=1.0
+                    )
                     if r_lo is not None:
                         legacy_pair = {
                             "cores_low": legacy_low,
@@ -690,12 +698,13 @@ def main() -> None:
                             "hw_ceiling": ceiling_legacy,
                         }
                     break
+        # headline 'value' only ever comes from a CLEAN full-width run
+        # (ADVICE r4: the old `clean_max or max_runs` fallback let the
+        # fastest CONTAMINATED run become the headline, flagged only deep
+        # inside kg_scaling).  With no clean max run the headline falls
+        # back to the clean high-leg throughput below.
         clean_max = [r for r in max_runs if not r["contaminated"]]
-        best_max = (
-            min(clean_max or max_runs, key=lambda r: r["seconds"])
-            if max_runs
-            else None
-        )
+        best_max = min(clean_max, key=lambda r: r["seconds"]) if clean_max else None
     finally:
         shutil.rmtree(kg_dir, ignore_errors=True)
     # throughput = emitted relation instances per second (distinct canonical
@@ -703,7 +712,8 @@ def main() -> None:
     thr_lo = lo["n_instances"] / lo["seconds"] if lo["seconds"] else 0.0
     thr_hi = hi["n_instances"] / hi["seconds"] if hi["seconds"] else 0.0
     eff = best["efficiency"]
-    # headline value = box-max throughput (32-core leg) when one ran;
+    # headline value = box-max throughput (32-core leg) when a CLEAN one
+    # ran, else the clean high leg of the headline pair;
     # scaling_efficiency = the 4->16 N->4N pair (see core-selection note)
     value_cores = cores_max if best_max else cores_high
     thr_max = (
@@ -715,6 +725,11 @@ def main() -> None:
     result = {
         "metric": "kg_triples_per_sec@local[%d]" % value_cores,
         "value": round(thr_max, 2),
+        # True when 'value' came from a gate-clean leg (a full-width run,
+        # or the headline pair's high leg on fallback) — surfaced at top
+        # level so a contaminated-only campaign is visible beside the
+        # number, not only inside kg_scaling (ADVICE r4)
+        "value_leg_clean": bool(best_max) or not hi["contaminated"],
         "unit": "triples/sec",
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],

@@ -27,6 +27,7 @@ def _sessionize(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    with_timeout: bool = True,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -59,7 +60,8 @@ def _sessionize(
         else:
             last, n = t, n + 1
     state.update((start, last, n))
-    state.setTimeoutDuration(GAP_SECONDS * 1000)
+    if with_timeout:
+        state.setTimeoutDuration(GAP_SECONDS * 1000)
     if closed:
         yield pd.DataFrame(
             {
@@ -71,16 +73,32 @@ def _sessionize(
         )
 
 
-def streaming_sessions(events_stream: DataFrame) -> DataFrame:
-    """events(ts, user_id, ...) stream -> closed-session stream."""
+def streaming_sessions(events_stream: DataFrame, idle_timeout: bool = True) -> DataFrame:
+    """events(ts, user_id, ...) stream -> closed-session stream.
+
+    ``idle_timeout=True`` (production default) flushes idle users' final
+    sessions via a processing-time timeout.  Pass False for bounded
+    drain-and-stop runs (availableNow catch-up jobs, the correctness gate):
+    with a timeout registered, the availableNow trigger keeps scheduling
+    empty micro-batches to poll for timeouts that a drained source can
+    never fire, so the query never self-terminates — and since the timeout
+    branch cannot fire under availableNow anyway (processing time never
+    advances GAP_SECONDS within the drain), disabling it changes no
+    emitted row, only the termination behavior."""
+    import functools
+
     return (
         events_stream.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize,
+            functools.partial(_sessionize, with_timeout=idle_timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
