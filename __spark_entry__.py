@@ -1704,9 +1704,11 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no shuffle at any scale (sweep-allowlisted beside ann_topk; a
     constant-key equi-join is folded to the same shape by Catalyst
     anyway).  Iterations are a fixed unrolled 3 here so the oracle can
-    recompute them as unrolled SQL CTEs; the production variant would
-    localCheckpoint every ~5 rounds like operators/cluster.py does for
-    connected components (same lineage-growth reasoning).  No dangling
+    recompute them as unrolled SQL CTEs; the production variant is
+    ``operators/graph.py::pagerank`` — the same per-round dataflow with
+    localCheckpoint lineage truncation, pinned row-identical to this
+    unrolled form on a 100k-edge graph plus a bounded-plan assertion
+    (tests/operators/test_graph_rank.py).  No dangling
     nodes by construction: the undirected doubling gives every node
     out-degree >= 1."""
     co = q_kg_cooccurrence(spark, sf_dir)

@@ -86,6 +86,81 @@ def run_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
+def ann_recall(spark, sf_dir: str) -> dict:
+    """Retrieval quality of the scale-path ANN: recall@k of the sign-LSH
+    bucketed top-k (lsh_topk, the 10^9-vector shape) against brute-force
+    cosine top-k (ann_topk) on the same embeddings — the number a user
+    tunes planes/bands by.  Both sides run the gate queries unchanged, so
+    the recorded recall describes exactly the oracle-audited operators
+    (k=5 neighbors, 4 hyperplanes, 10 query vectors)."""
+    import __spark_entry__ as entry_mod
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seq2rel_ds_spark.operators.similarity import quantize_vec, sign_lsh_bands
+
+    exact = entry_mod.q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact.cache()
+    total = exact.count()
+
+    def recall_of(approx) -> float:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        return round(hits / total, 4) if total else None
+
+    # banded OR-amplified variant (8 bands x 2 planes): candidates collide
+    # in ANY band, so the examined fraction — and recall — rises with the
+    # band count at one extra explode+dedup; same exact in-bucket scoring
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = quantize_vec(F.col("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a_, x: a_ + x * x).cast("double")
+    )
+    e = emb.select(F.col("vec_id").alias("id"), v.alias("v")).withColumn("nrm", nrm)
+    bb = sign_lsh_bands(F.col("v"), 64, bands=8, planes_per_band=2)
+    ce = e.select("id", "v", "nrm", F.explode(bb).alias("bb"))
+    qe = (
+        e.filter(F.col("id") < 10)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(bb).alias("bb"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        ce.join(F.broadcast(qe), "bb")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", "v", "qv", "nrm", "qn")
+        .dropDuplicates(["query_id", "id"])
+        .withColumn("cosine", F.round(dot.cast("double") / (F.col("nrm") * F.col("qn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    banded = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    out = {
+        "recall_at_k": recall_of(entry_mod.q_lsh_topk(spark, sf_dir)),
+        "k": 5,
+        "planes": 4,
+        "banded_recall_at_k": recall_of(banded),
+        "banded_config": {"bands": 8, "planes_per_band": 2},
+        "n_queries": 10,
+        "exact_pairs": total,
+    }
+    exact.unpersist()
+    return out
+
+
 def run_kg_fused(spark, pages, partitions: int, pages_path: str = None) -> tuple:
     """Fused flagship pipeline over a pages DataFrame (typically a parquet
     scan, as in production); returns (n_triples, seconds).
@@ -508,6 +583,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
     timings = run_queries(spark, sf_dir)
+    recall = ann_recall(spark, sf_dir)
     # generate the scaling input once (untimed input preparation)
     kg_dir = tempfile.mkdtemp(prefix="bench_kg_pages_")
     pages_path = f"{kg_dir}/pages"
@@ -732,6 +808,7 @@ def main() -> None:
         "value_leg_clean": bool(best_max) or not hi["contaminated"],
         "unit": "triples/sec",
         "queries": timings,
+        "ann_recall": recall,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "kg_scaling": {
             "n_docs": kg_docs,

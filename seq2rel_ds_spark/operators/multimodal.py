@@ -155,11 +155,21 @@ def _decode_image(blob: bytes, deterministic_fake: bool):
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
     if not deterministic_fake:
-        raise NotImplementedError(
-            "compressed image codecs unavailable in this environment; pass "
-            "deterministic_fake=True, supply uncompressed BMP, or install "
-            "PIL/cv2 and implement here"
-        )
+        # optional real path: if a codec library is installed (absent from
+        # this container), compressed formats decode for real — the guard
+        # is structured so the capability flips on without code changes
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "compressed image codecs unavailable in this environment; "
+                "pass deterministic_fake=True, supply uncompressed BMP, or "
+                "install pillow (this branch then decodes for real)"
+            ) from None
+        img = Image.open(io.BytesIO(blob)).convert("RGB")
+        return img.width, img.height, 3, img.tobytes()
     # the fake derives from the blob's hex string (not raw bytes) so an
     # external SQL oracle whose hash functions are VARCHAR-only can
     # replicate it bit-for-bit
@@ -182,11 +192,22 @@ def _decode_audio(blob: bytes, deterministic_fake: bool):
     if blob[:4] == b"RIFF":
         return _decode_wav(blob)
     if not deterministic_fake:
-        raise NotImplementedError(
-            "compressed audio codecs unavailable in this environment; pass "
-            "deterministic_fake=True, supply PCM WAV, or install "
-            "soundfile/ffmpeg and implement here"
-        )
+        # optional real path, mirroring _decode_image: soundfile (absent
+        # from this container) decodes compressed audio when installed
+        try:
+            import io
+
+            import soundfile  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "compressed audio codecs unavailable in this environment; "
+                "pass deterministic_fake=True, supply PCM WAV, or install "
+                "soundfile (this branch then decodes for real)"
+            ) from None
+        samples, rate = soundfile.read(io.BytesIO(blob), dtype="float64")
+        if getattr(samples, "ndim", 1) > 1:  # downmix to mono
+            samples = samples.mean(axis=1)
+        return int(rate), [float(s) for s in samples]
     key = blob.hex().encode()
     h = hashlib.md5(key).digest()
     rate = (8 + h[2] % 8) * 1000

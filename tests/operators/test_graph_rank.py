@@ -33,6 +33,112 @@ class TestPageRank:
         assert {r["node"] for r in pr} == nodes
 
 
+class TestProductionPageRank:
+    """The checkpointed-iteration loop (operators/graph.py) vs the unrolled
+    gate dataflow — parity at a size where lineage growth matters."""
+
+    @staticmethod
+    def _edges(spark, n_base: int, n_nodes: int):
+        """Deterministic undirected synthetic graph (doubling + dedup)."""
+        from pyspark.sql import functions as F
+
+        base = (
+            spark.range(n_base)
+            .select(
+                (F.col("id") % n_nodes).alias("a"),
+                # the id//n term varies b across same-a rows (a plain
+                # affine map collapses mod n_nodes)
+                ((F.col("id") * 7 + (F.col("id") / n_nodes).cast("long") * 31 + 3) % n_nodes).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        return (
+            base.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def test_parity_with_unrolled_at_100k_edges(self, spark):
+        """graph.pagerank (localCheckpoint every 2 rounds, so truncation
+        fires mid-run) matches the gate's unrolled-3 dataflow node-for-node
+        on a >=100k-edge graph.  Tolerance 1e-12 on ranks ~1e-4: the two
+        plans may legally sum shuffle partials in different orders, so we
+        allow summation-order ulps (~1e-17) and nothing more."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from seq2rel_ds_spark.operators.graph import pagerank
+
+        e = self._edges(spark, 60_000, 20_000)
+        assert e.count() >= 100_000
+
+        # unrolled reference: the gate's exact dataflow (broadcast-1-row
+        # node count, 3 unrolled rounds, no checkpointing)
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        nn = deg.agg(F.count("*").alias("n_nodes"))
+        edges = e.join(deg, "src")
+        ranks = deg.crossJoin(F.broadcast(nn)).select(
+            F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+        )
+        for _ in range(3):
+            contrib = edges.join(ranks, edges["src"] == ranks["node"]).select(
+                "dst", (F.col("rank") / F.col("deg")).alias("c")
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+                .crossJoin(F.broadcast(nn))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s")).alias("rank"),
+                )
+            )
+        want = {r["node"]: r["rank"] for r in ranks.collect()}
+
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(e, n_iter=3, checkpoint_every=2).collect()
+        }
+        assert got.keys() == want.keys()
+        assert all(math.isclose(got[k], want[k], abs_tol=1e-12) for k in want)
+
+    def test_lineage_stays_bounded(self, spark):
+        """The point of the checkpoint discipline: after 10 rounds the
+        checkpointed loop's plan is truncated at the last localCheckpoint
+        (a LogicalRDD leaf), while the unchecked loop's plan keeps the
+        whole 10-round tree — orders of magnitude larger."""
+        from seq2rel_ds_spark.operators.graph import pagerank
+
+        e = self._edges(spark, 300, 100)
+        ck = pagerank(e, n_iter=10, checkpoint_every=5)
+        no_ck = pagerank(e, n_iter=10, checkpoint_every=100)
+        plan_ck = ck._jdf.queryExecution().optimizedPlan().toString()
+        plan_no = no_ck._jdf.queryExecution().optimizedPlan().toString()
+        # the loop's rank state must be a checkpoint leaf, not the nested
+        # 10-round tree (edges_deg is LogicalRDD in both — compare sizes)
+        assert "LogicalRDD [node" in plan_ck
+        assert len(plan_ck) < len(plan_no) / 2
+
+    def test_mass_conserved_long_run(self, spark):
+        """20 checkpointed rounds keep total rank mass at 1 (no dangling
+        mass leak across checkpoint boundaries)."""
+        import math
+
+        from seq2rel_ds_spark.operators.graph import pagerank
+
+        e = self._edges(spark, 600, 200)
+        rows = pagerank(e, n_iter=20, checkpoint_every=5).collect()
+        assert math.isclose(sum(r["rank"] for r in rows), 1.0, abs_tol=1e-6)
+
+
 class TestTfIdf:
     def test_topk_shape_and_order(self, spark):
         """<= 3 rows per doc, rk dense from 1, and rows ordered by the

@@ -49,6 +49,29 @@ class TestMultimodal:
             exc_info.value, NotImplementedError
         )
 
+    def test_optional_codec_import_guard(self):
+        """The compressed-format branch is an import guard, not a flat
+        raise: with pillow/soundfile absent (this container) it raises
+        NotImplementedError naming the library; with them installed the
+        same call decodes for real — no code change needed to flip."""
+        from seq2rel_ds_spark.operators.multimodal import _decode_audio, _decode_image
+
+        png_magic = b"\x89PNG\r\n\x1a\n" + bytes(32)
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("pillow installed: guard exercises the real path")
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="pillow"):
+                _decode_image(png_magic, deterministic_fake=False)
+        try:
+            import soundfile  # noqa: F401
+
+            pytest.skip("soundfile installed: guard exercises the real path")
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="soundfile"):
+                _decode_audio(b"OggS" + bytes(32), deterministic_fake=False)
+
     def test_bmp_roundtrip(self):
         """encode_bmp -> _decode_bmp is the identity on (w, h, pixels),
         across padding widths (w%4 in {0,1,2,3}) and both odd/even heights."""
