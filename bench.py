@@ -294,9 +294,11 @@ def kg_child(cores: int, pages_path: str) -> None:
             n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2560000"))
             frac = min(0.05, max(64000.0 / max(n_docs, 1), 0.002))
             run_kg_fused(spark, pages.sample(frac, seed=1), partitions=cores)
+        gc0, cpu0 = _jvm_counters(spark)
         (n_triples, n_instances), sec = run_kg_fused(
             spark, pages, partitions=2 * cores, pages_path=pages_path
         )
+        gc1, cpu1 = _jvm_counters(spark)
         print(
             json.dumps(
                 {
@@ -304,6 +306,13 @@ def kg_child(cores: int, pages_path: str) -> None:
                     "n_triples": n_triples,
                     "n_instances": n_instances,
                     "seconds": round(sec, 3),
+                    # driver-JVM self-consumption over the timed run: GC
+                    # pause total and JVM process CPU (scheduler/codegen/
+                    # shuffle service) — the python workers' CPU is NOT in
+                    # here, so jvm_cpu_sec ~ what the JVM steals from the
+                    # cores the workers want at full width
+                    "gc_ms": gc1 - gc0,
+                    "jvm_cpu_sec": round(cpu1 - cpu0, 2),
                 }
             )
         )
@@ -346,6 +355,87 @@ def _hw_ceiling(cores_low: int, cores_high: int) -> float:
     t_low = per_core_time(cores_low)
     t_high = per_core_time(cores_high)
     return round(t_low / t_high, 3) if t_high else 1.0
+
+
+def _membw_ceiling(cores_low: int, cores_high: int, mb_per_proc: int = 256, passes: int = 3) -> float:
+    """Memory-BANDWIDTH scaling ceiling: barrier-synced pinned processes
+    each streaming-summing a working set far larger than LLC (256 MB of
+    float64 per proc, 3 passes).  Unlike the pure-ALU busy probe (which
+    runs from L1 and sees only frequency throttling), this probe saturates
+    the socket's memory controllers — the other shared-silicon resource a
+    fully-loaded box runs out of.  Returned like _hw_ceiling: mean
+    per-proc time low/high; 1.0 = no slowdown at the high level, 0.5 =
+    per-proc streaming takes 2x as long when all cores demand bandwidth.
+    The flagship's real task body streams ~2.5 GB of pages per proc, so
+    this bounds IT the way the ALU ceiling bounds compute (VERDICT r4 #2:
+    pin the 8->32 residual on a measured resource, not speculation)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    n_elem = mb_per_proc * (1 << 20) // 8
+
+    def worker(bar, q):
+        a = np.arange(n_elem, dtype=np.float64)
+        # warm-up sum BEFORE the barrier: faults every page and ramps the
+        # core's frequency governor, so the timed window measures steady-
+        # state bandwidth (a cold low-proc level otherwise reads SLOWER
+        # than the loaded level and the ratio comes out > 1)
+        s = float(a.sum())
+        bar.wait()
+        t0 = time.time()
+        for _ in range(passes):
+            s += float(a.sum())
+        q.put(time.time() - t0)
+
+    def per_proc_time(n_procs: int) -> float:
+        bar = mp.Barrier(n_procs)
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(bar, q)) for _ in range(n_procs)]
+        for i, p in enumerate(ps):
+            p.start()
+            try:
+                os.sched_setaffinity(p.pid, {i})
+            except OSError:
+                pass
+        times = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return sum(times) / len(times)
+
+    # two reps per level, keep the min (cleanest window); residual noise can
+    # still read marginally > 1.0 and is clamped — a ceiling above 1 has no
+    # physical meaning (the high level cannot have MORE per-core bandwidth)
+    t_low = min(per_proc_time(cores_low) for _ in range(2))
+    t_high = min(per_proc_time(cores_high) for _ in range(2))
+    return min(round(t_low / t_high, 3), 1.0) if t_high else 1.0
+
+
+def _jvm_counters(spark) -> tuple:
+    """(total GC pause ms, JVM process CPU seconds) for the driver JVM —
+    deltas around the timed run expose how much of a leg's wall the JVM
+    itself (GC, codegen, scheduler, shuffle) consumed.  GC comes from the
+    management beans via py4j; CPU from /proc/<jvm pid>/stat (the
+    OperatingSystemMXBean impl class is reflection-blocked under the
+    Java 17 module system, so getProcessCpuTime is unreachable from
+    py4j)."""
+    gc_ms, cpu_sec = 0, 0.0
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            gc_ms += it.next().getCollectionTime()
+    except Exception:
+        pass
+    try:
+        pid = spark.sparkContext._gateway.proc.pid
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        # fields after comm: utime is index 11, stime 12 (0-based here)
+        cpu_sec = (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        pass
+    return gc_ms, cpu_sec
 
 
 def _kernel_worker(files: list, batch_size: int, q) -> None:
@@ -579,6 +669,11 @@ def main() -> None:
     # the legacy 8->32 ALU ceiling, recorded beside the supporting pair so
     # the artifact itself shows why full-width pairs sit lower
     ceiling_legacy = _hw_ceiling(max(cores_max // 4, 1), cores_max)
+    # memory-bandwidth ceilings at both pairings: the ALU probe runs from
+    # L1 and only sees frequency throttle; the flagship streams its whole
+    # input, so the bandwidth ceiling is the binding one at full width
+    membw_pair = _membw_ceiling(cores_low, cores_high)
+    membw_legacy = _membw_ceiling(max(cores_max // 4, 1), cores_max)
     probe_calib = min(_busy_probe(), _busy_probe())
 
     spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
@@ -772,6 +867,7 @@ def main() -> None:
                                 r_lo["contaminated"] or r["contaminated"]
                             ),
                             "hw_ceiling": ceiling_legacy,
+                            "membw_ceiling": membw_legacy,
                         }
                     break
         # headline 'value' only ever comes from a CLEAN full-width run
@@ -821,11 +917,11 @@ def main() -> None:
             "steal_pct_low": lo["steal_pct"],
             "steal_pct_high": hi["steal_pct"],
             "low_runs": [
-                {k: r[k] for k in ("seconds", "steal_pct", "probe_ratio", "contaminated")}
+                {k: r.get(k) for k in ("seconds", "steal_pct", "probe_ratio", "contaminated", "gc_ms", "jvm_cpu_sec")}
                 for r in lo_runs
             ],
             "high_runs": [
-                {k: r[k] for k in ("seconds", "steal_pct", "probe_ratio", "contaminated")}
+                {k: r.get(k) for k in ("seconds", "steal_pct", "probe_ratio", "contaminated", "gc_ms", "jvm_cpu_sec")}
                 for r in hi_runs
             ],
             # per-round (same-window) pairs — the methodology's raw evidence
@@ -863,13 +959,26 @@ def main() -> None:
             "max_clean": (not best_max["contaminated"]) if best_max else None,
             "max_runs": [
                 {
-                    k: r[k]
-                    for k in ("seconds", "steal_pct", "probe_ratio", "contaminated")
+                    k: r.get(k)
+                    for k in (
+                        "seconds",
+                        "steal_pct",
+                        "probe_ratio",
+                        "contaminated",
+                        "gc_ms",
+                        "jvm_cpu_sec",
+                    )
                 }
                 for r in max_runs
             ],
             "pair_8_32": legacy_pair,
             "hw_ceiling_8_32": ceiling_legacy,
+            # streaming-sum bandwidth ceilings (see _membw_ceiling): the
+            # resource the full-width legs actually exhaust — at 8->32 the
+            # per-proc stream slows ~1/membw_ceiling_8_32 x, bounding any
+            # input-streaming workload regardless of engine
+            "membw_ceiling_pair": membw_pair,
+            "membw_ceiling_8_32": membw_legacy,
             "scaling_efficiency": round(eff, 3),
             # single-box ceilings for the low->high proxy (real N->4N
             # clusters add machines; see BENCH.md).  hw = ALU busy-loop
