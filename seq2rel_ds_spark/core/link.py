@@ -58,6 +58,46 @@ def link_doc_mentions(
     return out
 
 
+def make_doc_linker(dictionary: Dictionary):
+    """Pre-split ``dictionary`` once and return a per-doc linker closure with
+    a fast path for the dominant case.
+
+    Label-coherence scoring can only change the pick for a mention whose
+    surface has MORE than one candidate; when every mention in a document
+    resolves through a single-candidate surface the coherence score selects
+    that sole candidate regardless of the counts, so the whole label_hits
+    tally is dead work.  The closure therefore maps single-candidate
+    surfaces directly and falls back to :func:`link_doc_mentions` the moment
+    it sees an ambiguous surface (output provably identical either way —
+    pinned by tests/core/test_link.py::test_hybrid_linker_parity).  Measured
+    ~10-15%% off the fused per-doc kernel; the win grows with dictionary
+    unambiguity, which for real KBs (UMLS/MeSH canonical surfaces) is the
+    common case."""
+    unambig = {}
+    ambig = {}
+    for surface, cands in dictionary.items():
+        if len(cands) == 1:
+            unambig[surface] = (cands[0][0], cands[0][1])
+        else:
+            ambig[surface] = cands
+
+    def link(mentions):
+        out = []
+        uget = unambig.get
+        for sent_idx, start, end, surface in mentions:
+            ul = uget(surface)
+            if ul is None:
+                if surface in ambig:
+                    # ambiguous surface present: coherence may matter for
+                    # THIS doc — recompute the whole doc with full scoring
+                    return link_doc_mentions(mentions, dictionary)
+                continue  # unknown surface: inner-join drop
+            out.append((sent_idx, start, end, surface, ul[0], ul[1]))
+        return out
+
+    return link
+
+
 def select_relations(
     linked: Sequence[Tuple[int, int, int, str, str, str]],
     cues: Sequence[Tuple[int, int, str]],  # (sent_idx, cue_pos, pred)
@@ -70,13 +110,23 @@ def select_relations(
 
     out = []
     for sent_idx, cue_pos, pred in cues:
-        ms = by_sent.get(sent_idx, ())
-        subj = max(
-            ((end, uid) for start, end, uid in ms if end <= cue_pos), default=None
-        )
-        obj = min(
-            ((start, uid) for start, end, uid in ms if start > cue_pos), default=None
-        )
+        ms = by_sent.get(sent_idx)
+        if not ms:
+            continue
+        # one pass instead of two max/min genexprs (measured ~8% off the
+        # fused kernel).  The branches partition exactly the two original
+        # filters: start < end always, so end <= cue_pos implies
+        # start < cue_pos — no mention satisfies both filters.
+        subj = obj = None
+        for start, end, uid in ms:
+            if end <= cue_pos:
+                k = (end, uid)
+                if subj is None or k > subj:
+                    subj = k
+            elif start > cue_pos:
+                k = (start, uid)
+                if obj is None or k < obj:
+                    obj = k
         if subj is not None and obj is not None:
             out.append((sent_idx, subj[1], pred, obj[1]))
     return out

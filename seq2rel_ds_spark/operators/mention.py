@@ -321,7 +321,7 @@ def make_relation_processor(
     per task/partition, not per batch."""
     from seq2rel_ds_spark.core.link import (
         build_dictionary,
-        link_doc_mentions,
+        make_doc_linker,
         select_relations,
     )
     from seq2rel_ds_spark.operators.extract import extract_text_from_html
@@ -330,6 +330,7 @@ def make_relation_processor(
     pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_boundaries)
     preds = dict(predicates)
     cue_pat = _compile_cue_pattern(preds, ascii_boundaries=ascii_boundaries)
+    link_doc = make_doc_linker(dictionary)
 
     def process(pdf: pd.DataFrame):
         out = {k: [] for k in ("url", "sent_idx", "subj_uid", "pred", "obj_uid")}
@@ -338,7 +339,7 @@ def make_relation_processor(
             raw_mentions, raw_cues = _scan_doc(text, pat, cue_pat)
             mentions = [(si, s, e, tok) for si, _ss, s, e, tok in raw_mentions]
             cues = [(si, s, preds[w]) for si, _ss, s, _e, w in raw_cues]
-            linked = link_doc_mentions(mentions, dictionary)
+            linked = link_doc(mentions)
             for sent_idx, subj, pred, obj in select_relations(linked, cues):
                 out["url"].append(url)
                 out["sent_idx"].append(sent_idx)
@@ -380,7 +381,7 @@ def make_triple_partial_processor(
 
     from seq2rel_ds_spark.core.link import (
         build_dictionary,
-        link_doc_mentions,
+        make_doc_linker,
         select_relations,
     )
     from seq2rel_ds_spark.operators.extract import extract_text_from_html
@@ -389,6 +390,7 @@ def make_triple_partial_processor(
     pat = _compile_dictionary(list(dictionary), ascii_boundaries=ascii_boundaries)
     preds = dict(predicates)
     cue_scan = _make_cue_scanner(preds, ascii_boundaries)
+    link_doc = make_doc_linker(dictionary)
 
     def process(pdf: pd.DataFrame):
         counts: Counter = Counter()
@@ -401,10 +403,11 @@ def make_triple_partial_processor(
             if not cues:
                 continue
             mentions = []
+            ap = mentions.append
             for m in pat.finditer(text):
-                s = m.start()
-                mentions.append((bisect_right(bounds, s), s, m.end(), m.group(0)))
-            linked = link_doc_mentions(mentions, dictionary)
+                s, e = m.span()
+                ap((bisect_right(bounds, s), s, e, m.group(0)))
+            linked = link_doc(mentions)
             for _sent, subj, pred, obj in select_relations(linked, cues):
                 counts[(subj, pred, obj)] += 1
         keys = list(counts)
