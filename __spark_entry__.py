@@ -1746,6 +1746,112 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 
+def q_kg_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the co-occurrence graph: min hop distance
+    (<= 3) from the lexicographically-smallest node — the reachability /
+    neighborhood-expansion primitive KG curation runs from a seed entity
+    (NOT covered by kg_two_hop, which enumerates pairs, or cc_components,
+    which ignores distance).
+
+    Distributed shape: Bellman-Ford-style monotone relaxation, one hop per
+    round = one equi-join on src against the (small) distance set plus one
+    groupBy-min shuffle — the same per-round cost envelope as pagerank.
+    The seed attaches by a plain equi-join against a 1-row aggregate (a
+    broadcast HASH join — no BNLJ).  Unrolled 3 hops so DuckDB can
+    recompute it as CTEs; a production frontier loop would localCheckpoint
+    per round like operators/graph.py::pagerank."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    und = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    dist = und.agg(F.min("src").alias("node")).withColumn("dist", F.lit(0))
+    for _ in range(3):
+        hop = und.join(dist, und["src"] == dist["node"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        dist = (
+            dist.unionByName(hop).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the canonical edge set — the
+    training-data shape for KG-embedding / link-prediction corpora: each
+    positive edge yields one corrupted candidate (object replaced by an
+    md5-indexed entity), and an ANTI-JOIN against the positive edge set
+    (both orientations) removes corruptions that happen to be positives,
+    plus trivial self/identity corruptions — the standard link-prediction
+    negative sampler (a corrupted triple must simply not be in the
+    training edge set).
+
+    Engine-portable determinism: corrupt index = first two md5 bytes of
+    'neg:subj:obj' mod |entities|, mapped to an entity through a
+    row_number over the sorted entity list (the md5_split trick,
+    operators/split.py — reproducible by any engine, stable under
+    partitioning).  Scale shape: the entity list is KB-bounded (a
+    dimension); its 1-row count attaches via crossJoin(broadcast) —
+    the sweep-allowlisted single-row BNLJ — and everything else is
+    equi-join/aggregate.  The anti-join is the same shuffle the dedup
+    family already gates.
+
+    Positives are the ABOVE-AVERAGE-weight subgraph (strict), not the full
+    edge set: the tiny-sf co-occurrence graph is near-complete, where no
+    corruption can be a true negative (the sf0.01 graph is literally K8) —
+    sampling against the strong-edge subgraph is also the semantically
+    right setup (train the scorer to separate strong pairs from
+    hash-picked non-pairs).  The avg is exact cross-engine: integer sums
+    are exact in double below 2^53 and both engines do the same one
+    division."""
+    from pyspark.sql import Window
+
+    co = q_kg_cooccurrence(spark, sf_dir)
+    ents = (
+        co.select(F.col("subj").alias("node"))
+        .unionByName(co.select(F.col("obj").alias("node")))
+        .distinct()
+    )
+    ranked = ents.withColumn(
+        "rk", F.row_number().over(Window.orderBy("node")).cast("long")
+    )
+    nn = ranked.agg(F.count("*").alias("n_ents"))
+    avg = co.agg(F.avg("n_docs").alias("avg_docs"))
+    pos = (
+        co.crossJoin(F.broadcast(avg))
+        .filter(F.col("n_docs") > F.col("avg_docs"))
+        .select("subj", "obj")
+    )
+    idx = pos.crossJoin(F.broadcast(nn)).withColumn(
+        "rk",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("neg"), "subj", "obj")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n_ents")
+        + 1,
+    )
+    cand = idx.join(ranked, "rk").select(
+        "subj", F.lit("COOCCURS_WITH").alias("pred"), "obj",
+        F.col("node").alias("neg_obj"),
+    ).filter((F.col("neg_obj") != F.col("obj")) & (F.col("neg_obj") != F.col("subj")))
+    und = pos.select(
+        F.col("subj").alias("r_subj"), F.col("obj").alias("r_obj")
+    ).unionByName(
+        pos.select(F.col("obj").alias("r_subj"), F.col("subj").alias("r_obj"))
+    )
+    return cand.join(
+        und,
+        (cand["subj"] == und["r_subj"]) & (cand["neg_obj"] == und["r_obj"]),
+        "left_anti",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic relevance/quality
     signal a training-data pipeline derives from its inverted index
@@ -1839,6 +1945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_triangles": q_kg_triangles,
         "kg_pagerank": q_kg_pagerank,
+        "kg_bfs_reach": q_kg_bfs_reach,
+        "kg_negative_samples": q_kg_negative_samples,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
@@ -3070,6 +3178,72 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY u.dst
             )
             SELECT node, ROUND(rank, 6) AS pagerank FROM r3
+        """,
+        # unrolled 3-hop BFS: dK = min(dK-1, 1 + dK-1 over one edge) — the
+        # same monotone relaxation the Spark loop runs, one CTE per hop
+        "kg_bfs_reach": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            und AS (
+              SELECT subj AS src, obj AS dst FROM co
+              UNION ALL
+              SELECT obj AS src, subj AS dst FROM co
+            ),
+            d0 AS (SELECT min(src) AS node, 0 AS dist FROM und),
+            d1 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT u.dst AS node, s.dist + 1 AS dist
+                FROM und u JOIN d0 s ON u.src = s.node
+              ) GROUP BY node
+            ),
+            d2 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT u.dst AS node, s.dist + 1 AS dist
+                FROM und u JOIN d1 s ON u.src = s.node
+              ) GROUP BY node
+            ),
+            d3 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT u.dst AS node, s.dist + 1 AS dist
+                FROM und u JOIN d2 s ON u.src = s.node
+              ) GROUP BY node
+            )
+            SELECT node, CAST(dist AS INTEGER) AS dist FROM d3
+        """,
+        # deterministic corruption: first two md5 bytes of 'neg:subj:obj'
+        # mod |entities| -> row_number index into the sorted entity list;
+        # anti-join (NOT EXISTS) removes true edges in either orientation
+        "kg_negative_samples": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            ents AS (
+              SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rk
+              FROM (SELECT subj AS node FROM co UNION SELECT obj AS node FROM co)
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n_ents FROM ents),
+            pos AS (
+              SELECT subj, obj FROM co
+              WHERE n_docs > (SELECT avg(n_docs) FROM co)
+            ),
+            cand AS (
+              SELECT pos.subj, 'COOCCURS_WITH' AS pred, pos.obj, e.node AS neg_obj
+              FROM pos, nn, ents e
+              WHERE e.rk = CAST(({_hexbyte_sql("md5('neg:' || pos.subj || ':' || pos.obj)", 0)} * 256
+                               + {_hexbyte_sql("md5('neg:' || pos.subj || ':' || pos.obj)", 1)}) AS BIGINT)
+                           % nn.n_ents + 1
+                AND e.node <> pos.obj AND e.node <> pos.subj
+            )
+            SELECT c.subj, c.pred, c.obj, c.neg_obj
+            FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pos r
+              WHERE (r.subj = c.subj AND r.obj = c.neg_obj)
+                 OR (r.subj = c.neg_obj AND r.obj = c.subj)
+            )
         """,
         "tfidf_top_terms": """
             WITH tok AS (

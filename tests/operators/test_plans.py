@@ -152,13 +152,19 @@ class TestRelationalPlans:
         shapes.  Documented exceptions, each bounded by construction:
         ann_topk's query side is 10 vectors (the exact brute-force
         baseline — the general shape is lsh_topk, which this test does
-        cover); kg_pagerank and tfidf_top_terms attach a 1-ROW broadcast
-        scalar aggregate (node/corpus count) via crossJoin — a BNLJ whose
-        inner side is a single row is O(rows), shuffle-free at any scale
-        (and a constant-key equi-join folds to the same shape)."""
+        cover); kg_pagerank, tfidf_top_terms and kg_negative_samples attach
+        a 1-ROW broadcast scalar aggregate (node/corpus/entity count) via
+        crossJoin — a BNLJ whose inner side is a single row is O(rows),
+        shuffle-free at any scale (and a constant-key equi-join folds to
+        the same shape)."""
         import __spark_entry__ as em
 
-        allowed_bnlj = {"ann_topk", "kg_pagerank", "tfidf_top_terms"}
+        allowed_bnlj = {
+            "ann_topk",
+            "kg_pagerank",
+            "tfidf_top_terms",
+            "kg_negative_samples",
+        }
         for name, fn in em.queries().items():
             plan = _plan(fn(spark, SF))
             assert "CartesianProduct" not in plan, name
