@@ -227,6 +227,57 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (the time-series join Spark lacks as a primitive): each
+    purchase joins the MOST RECENT prior click of the same user — strictly
+    earlier ts; among equal-ts clicks the largest event_id wins.
+
+    Distributed shape: the union-merge trick, not a range join — tag both
+    event streams, window by (user_id) ordered by (ts, tag, event_id) with
+    last(click_value, ignorenulls) over unboundedPreceding..currentRow.
+    ONE shuffle on user_id, O(n log n) in-partition sort, no
+    O(purchases x clicks) blow-up — the shape that survives 100 TB where a
+    theta/range join cannot (plan-gated: no BNLJ/Cartesian).  Purchases
+    sort BEFORE clicks at equal ts (tag 0 < 1), which enforces the strict
+    `<` without a frame offset.  The oracle is structurally independent:
+    a correlated ORDER BY ... LIMIT 1 subquery per purchase.
+
+    Timestamps travel as unix MICROS (bigint) so the hash compare is
+    integer-exact; values pass through unchanged (no float arithmetic)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+        F.when(
+            F.col("event_type") == "click",
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("click_ts_us"),
+    )
+    tag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", tag, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    ).withColumn("last_click_ts_us", F.last("click_ts_us", ignorenulls=True).over(w))
+    return joined.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("value").alias("purchase_value"),
+        "last_click_value",
+        (F.col("ts_us") - F.col("last_click_ts_us")).alias("asof_lag_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analytics (documents table)
 # ---------------------------------------------------------------------------
@@ -316,6 +367,31 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.textstats import token_histogram
 
     return token_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary-size estimate via a k-minimum-values sketch
+    (operators/sketch.py) beside the exact distinct count — the
+    cardinality-estimation primitive a 100 TB pipeline uses where an exact
+    COUNT(DISTINCT) shuffle is unaffordable.  KMV (not HLL) because the
+    estimate is a deterministic pure function of the k smallest md5-based
+    hashes, so DuckDB recomputes it EXACTLY — a sketch that fits under the
+    value-hash oracle gate.  Tokenization matches tfidf_top_terms (space
+    split, drop empties).  The exact count joins on the tiny per-language
+    result (broadcast hash join) purely to surface estimate-vs-truth."""
+    from seq2rel_ds_spark.operators.sketch import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    est = kmv_distinct(toks, "lang", "token", k=64)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("token").alias("n_distinct_exact")
+    )
+    return exact.join(F.broadcast(est), "lang").select(
+        "lang", "distinct_est", "n_seen", "n_distinct_exact"
+    )
 
 
 def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_asof_join": q_events_asof_join,
+        "kmv_distinct_sketch": q_kmv_distinct_sketch,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2920,6 +2998,66 @@ def oracle_sql() -> dict[str, str]:
             FROM active a JOIN first_day f ON a.user_id = f.user_id
             WHERE datediff('day', f.cohort_day, a.day) <= 7
             GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+        """,
+        # structurally INDEPENDENT restatement of the as-of join: a
+        # correlated most-recent-prior-click subquery per purchase (the
+        # Spark side is a union-merge window, not a per-row lookup)
+        "events_asof_join": """
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   p.value AS purchase_value,
+                   (SELECT c.value FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND c.ts < p.ts
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                     AS last_click_value,
+                   epoch_us(p.ts) -
+                   (SELECT epoch_us(c.ts) FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND c.ts < p.ts
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                     AS asof_lag_us
+            FROM events p
+            WHERE p.event_type = 'purchase'
+        """,
+        # KMV estimate = (k-1) * 2^32 / kth-smallest distinct hash; hash =
+        # first 4 md5 bytes.  Exact same double division both engines.
+        "kmv_distinct_sketch": f"""
+            WITH tok AS (
+              SELECT lang, t AS token
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ),
+            hashed AS (
+              SELECT DISTINCT lang,
+                     CAST({_hexbyte_sql("md5(token)", 0)} * 16777216
+                        + {_hexbyte_sql("md5(token)", 1)} * 65536
+                        + {_hexbyte_sql("md5(token)", 2)} * 256
+                        + {_hexbyte_sql("md5(token)", 3)} AS BIGINT) AS h
+              FROM tok
+            ),
+            topk AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+              FROM hashed
+            ),
+            est AS (
+              SELECT lang, max(h) AS kth, count(*) AS n_seen
+              FROM topk WHERE rk <= 64 GROUP BY lang
+            ),
+            exact AS (
+              SELECT lang, count(DISTINCT token) AS n_distinct_exact
+              FROM tok GROUP BY lang
+            )
+            SELECT e.lang,
+                   CASE WHEN s.n_seen < 64 THEN CAST(s.n_seen AS DOUBLE)
+                        ELSE ROUND(63.0 * 4294967296.0 / s.kth, 4)
+                   END AS distinct_est,
+                   s.n_seen,
+                   e.n_distinct_exact
+            FROM exact e JOIN est s ON e.lang = s.lang
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -1,0 +1,70 @@
+"""Mergeable distinct-count sketches (k-minimum-values).
+
+Training-data-pipeline extension (SURVEY.md §2.9 family) — the reference
+pipeline (JohnGiorgi/seq2rel-ds) has no sketch operators; at 100 TB a
+pipeline needs cardinality estimates (vocabulary size per shard/language,
+join-key cardinality for plan decisions) without paying an exact
+COUNT(DISTINCT) shuffle over billions of values.
+
+KMV over HLL on purpose: the estimate is a pure function of the k smallest
+hash values, so with a fixed hash (md5) the result is DETERMINISTIC and
+exactly reproducible by any engine — it can sit under the DuckDB oracle
+gate, which HyperLogLog (engine-private register layouts) cannot.
+
+Scale shape: the sketch is MERGEABLE — "k smallest of a union = k smallest
+of the concatenated per-partition k-smallest lists" — so the production
+path is a partial aggregate: each task keeps its local k minima (a bounded
+heap, map-side combine), the merge is a k-way min over ≤ k·P values, and
+nothing un-aggregated crosses the shuffle.  The implementation below gets
+the same map-side reduction from Catalyst for free: groupBy(group, h) de-
+duplicates with partial aggregation, and the per-group row_number window
+only ever sees distinct hash values.  Ties at the k-boundary cannot change
+the estimate (the k-th smallest VALUE is tie-invariant even when
+row_number's pick is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hash domain: first 8 hex chars of md5 -> uniform 32-bit integer
+_HASH_SPACE = float(1 << 32)
+
+
+def hash32(col) -> Column:
+    """Uniform 32-bit hash of a string column (first 4 md5 bytes)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group distinct-count estimate of ``value_col`` via a k-minimum-
+    values sketch: est = (k-1) * 2^32 / h_(k) when the group has >= k
+    distinct values, else the exact count (the sketch IS the full distinct
+    set below k).
+
+    Returns (group_col, distinct_est double, n_seen long).  n_seen = the
+    number of sketch slots filled = min(k, exact distinct), so callers can
+    tell estimated groups from exactly-counted ones.
+    """
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2, got {k}")
+    hashed = (
+        df.select(F.col(group_col), hash32(F.col(value_col)).alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = hashed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    est = topk.groupBy(group_col).agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_seen")
+    )
+    return est.select(
+        group_col,
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(F.round(F.lit((k - 1) * _HASH_SPACE) / F.col("kth"), 4))
+        .alias("distinct_est"),
+        "n_seen",
+    )

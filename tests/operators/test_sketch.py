@@ -1,0 +1,53 @@
+"""Tests: KMV distinct-count sketch (operators/sketch.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestKMVSketch:
+    def test_below_k_is_exact(self, spark):
+        # fewer distinct values than k -> the sketch IS the distinct set
+        rows = [("a", f"v{i % 7}") for i in range(100)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        from seq2rel_ds_spark.operators.sketch import kmv_distinct
+
+        out = kmv_distinct(df, "g", "v", k=64).collect()
+        assert len(out) == 1
+        assert out[0]["n_seen"] == 7
+        assert out[0]["distinct_est"] == 7.0
+
+    def test_estimate_accuracy_above_k(self, spark):
+        # 2000 distinct values, k=64 -> KMV relative stderr ~ 1/sqrt(k-2)
+        # ~ 12.7%; assert within 4 sigma so the test cannot flake
+        rows = [("a", f"value-{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        from seq2rel_ds_spark.operators.sketch import kmv_distinct
+
+        out = kmv_distinct(df, "g", "v", k=64).collect()[0]
+        assert out["n_seen"] == 64
+        assert abs(out["distinct_est"] - 2000) / 2000 < 0.51
+
+    def test_merge_invariance(self, spark):
+        # the KMV estimate is a pure function of the value SET: duplicated
+        # rows, different partitioning, and row order cannot change it —
+        # the property that makes the sketch mergeable map-side
+        rows = [("a", f"value-{i}") for i in range(500)]
+        df1 = spark.createDataFrame(rows, "g string, v string").repartition(1)
+        df2 = (
+            spark.createDataFrame(rows + rows[:250], "g string, v string")
+            .repartition(7, "v")
+            .sort(F.desc("v"))
+        )
+        from seq2rel_ds_spark.operators.sketch import kmv_distinct
+
+        e1 = kmv_distinct(df1, "g", "v", k=32).collect()[0]
+        e2 = kmv_distinct(df2, "g", "v", k=32).collect()[0]
+        assert e1["distinct_est"] == e2["distinct_est"]
+        assert e1["n_seen"] == e2["n_seen"] == 32
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([("a", "x")], "g string, v string")
+        from seq2rel_ds_spark.operators.sketch import kmv_distinct
+
+        with pytest.raises(ValueError, match="k >= 2"):
+            kmv_distinct(df, "g", "v", k=1)
