@@ -1372,6 +1372,23 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling via the real
+    stratified_sample operator (operators/split.py): cap the dominant
+    language (en kept at 25%), halve de, keep the rest — the
+    distribution-rebalancing pass a corpus pipeline runs before training.
+    A pure md5-thresholded filter: no shuffle, pushed into the scan,
+    repeatable across engines/partitionings (oracle recomputes the exact
+    same draw)."""
+    from seq2rel_ds_spark.operators.split import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 0.5}, key="doc_id", salt="gate"
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_skewed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-stress gate for the salted two-phase aggregate: a synthesized
     mega-hub distribution (90% of rows collapse onto 3 duplicate keys — the
@@ -2028,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "skewed_dedup": q_skewed_dedup,
         "hinted_lines": q_hinted_lines,
         "media_bmp_decode": q_media_bmp_decode,
@@ -3432,6 +3450,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 0)} AS b
                   FROM documents)
+        """,
+        # same 32-bit md5 draw, thresholded at rate * 2^32 per stratum
+        "doc_sample_stratified": f"""
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         CAST({_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 0)} * 16777216
+                            + {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 1)} * 65536
+                            + {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 2)} * 256
+                            + {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 3)} AS DOUBLE)
+                           AS draw,
+                         CASE lang WHEN 'en' THEN 0.25
+                                   WHEN 'de' THEN 0.5
+                                   ELSE 1.0 END AS rate
+                  FROM documents)
+            WHERE draw < rate * 4294967296.0
         """,
     })
     return out

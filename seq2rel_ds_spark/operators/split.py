@@ -73,6 +73,49 @@ def md5_split(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Dict[str, float],
+    key: str,
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli downsampling: keep a row iff its
+    uniform 32-bit draw (first 4 md5 bytes of ``salt:key``) falls below the
+    stratum's keep-rate — the distribution-rebalancing op a training-data
+    pipeline runs to cap an over-represented language/source.
+
+    Scale shape: a PURE FILTER — no shuffle, no state; Catalyst pushes it
+    into the scan stage.  The md5 draw makes the sample repeatable across
+    runs, partition counts and engines (same portability argument as
+    ``md5_split``), stable under data growth (a row's fate never changes),
+    and auditable by the SQL oracle gate.  The rates map compiles to a
+    literal CASE expression — strata are dimension-sized by definition."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+    )
+    mapping = F.create_map(
+        *[lit for s, r in rates.items() for lit in (F.lit(s), F.lit(float(r)))]
+    )
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(float(default_rate)))
+    # threshold = rate * 2^32; both factors exact in double, one multiply
+    return df.filter(draw < rate * F.lit(4294967296.0))
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -261,6 +261,36 @@ class TestSplit:
         }
         assert valid_ids == expect
 
+    def test_stratified_sample(self, spark):
+        """Per-stratum Bernoulli keep: rate-proportional sizes, repeatable,
+        a pure filter (no shuffle), md5 draw matches a driver-side
+        recomputation, and out-of-range rates raise."""
+        import hashlib
+
+        from seq2rel_ds_spark.operators.split import stratified_sample
+
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+        kept = stratified_sample(df, "lang", {"en": 0.2}, key="id", salt="t")
+        rows = kept.collect()
+        en = [r for r in rows if r["lang"] == "en"]
+        assert len([r for r in rows if r["lang"] == "de"]) == 500  # default 1.0
+        assert 50 < len(en) < 150  # ~100 of 500 at rate 0.2
+        expect = {
+            i
+            for i in range(0, 1000, 2)
+            if int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16)
+            < 0.2 * 2**32
+        }
+        assert {r["id"] for r in en} == expect
+        again = stratified_sample(df, "lang", {"en": 0.2}, key="id", salt="t")
+        assert kept.exceptAll(again).count() == 0
+        assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+        with pytest.raises(ValueError, match=r"in \[0, 1\]"):
+            stratified_sample(df, "lang", {"en": 1.5}, key="id")
+
     def test_random_split_seeded(self, spark):
         from seq2rel_ds_spark.operators.split import random_split
 
