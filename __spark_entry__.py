@@ -1372,6 +1372,43 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via the real bucketed interval_join operator
+    (operators/interval.py): errors within (purchase, purchase + 1h] per
+    user — the attribution-window shape.  The naive BETWEEN theta join
+    degenerates to a per-key cross product on hub users; the operator
+    decomposes each interval into the <= 2 epoch-hour buckets it overlaps
+    and equi-joins on (user_id, bucket) + exact residual — a shuffled
+    hash/merge join AQE can skew-split (plan-gated: no BNLJ).  The oracle
+    IS the naive theta join (fine at sf0.01), so the gate proves the
+    decomposition ≡ the textbook semantics.  Strict > at the left edge
+    (the purchase instant itself excluded) via start = ts + 1 us; micros
+    keep every compare integer-exact."""
+    from seq2rel_ds_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts_us") + 1).alias("start_us"),
+        (F.col("ts_us") + 3_600_000_000).alias("end_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts_us"
+    )
+    hits = interval_join(
+        errors, purchases, ["user_id"], "ts_us", "start_us", "end_us"
+    )
+    counts = hits.groupBy("purchase_id").agg(F.count("*").alias("n_errors_1h"))
+    return purchases.join(counts, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("n_errors_1h", F.lit(0)).alias("n_errors_1h"),
+    )
+
+
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling via the real
     stratified_sample operator (operators/split.py): cap the dominant
@@ -2045,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
+        "events_interval_join": q_events_interval_join,
         "doc_sample_stratified": q_doc_sample_stratified,
         "skewed_dedup": q_skewed_dedup,
         "hinted_lines": q_hinted_lines,
@@ -3450,6 +3488,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          {_hexbyte_sql("md5('gate:' || CAST(doc_id AS VARCHAR))", 0)} AS b
                   FROM documents)
+        """,
+        # the NAIVE theta join (independent of the engine's bucket
+        # decomposition): strict > left edge, inclusive 1h right edge
+        "events_interval_join": """
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   count(e.event_id) AS n_errors_1h
+            FROM events p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type = 'error'
+             AND epoch_us(e.ts) > epoch_us(p.ts)
+             AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
         """,
         # same 32-bit md5 draw, thresholded at rate * 2^32 per stratum
         "doc_sample_stratified": f"""
