@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -46,6 +47,7 @@ def main():
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.monotonic()
         try:
             df = fn(spark, SF_DIR)
             spark_cols = df.columns
@@ -69,7 +71,9 @@ def main():
         a, b = norm_rows(spark_cols, spark_rows), norm_rows(duck_cols, duck_rows)
         ok_vals = a == b
         if ok_cols and ok_vals:
-            print(f"OK    {name}: {len(spark_rows)} rows")
+            # spark-side wall seconds beside each row count: a gate that
+            # creeps toward the driver harness's time budget shows up here
+            print(f"OK    {name}: {len(spark_rows)} rows ({time.monotonic() - t0:.1f}s)")
         else:
             failures += 1
             print(
