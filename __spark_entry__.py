@@ -1888,8 +1888,10 @@ def q_kg_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-min shuffle — the same per-round cost envelope as pagerank.
     The seed attaches by a plain equi-join against a 1-row aggregate (a
     broadcast HASH join — no BNLJ).  Unrolled 3 hops so DuckDB can
-    recompute it as CTEs; a production frontier loop would localCheckpoint
-    per round like operators/graph.py::pagerank."""
+    recompute it as CTEs; the production frontier loop (per-round cost
+    O(frontier), early termination, checkpointed lineage) is
+    operators/graph.py::bfs_distances, pinned distance-identical to this
+    relaxation by tests/operators/test_graph_rank.py."""
     co = q_kg_cooccurrence(spark, sf_dir)
     und = co.select(
         F.explode(

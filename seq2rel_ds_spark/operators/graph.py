@@ -69,3 +69,53 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    max_iter: int = 30,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """edges(src, dst), directed -> (node, dist): minimum hop count from
+    ``source`` for every node reachable within ``max_iter`` hops.
+
+    Production-shape FRONTIER loop behind the fixed-unrolled
+    ``kg_bfs_reach`` gate (__spark_entry__.py).  The gate's Bellman-Ford
+    relaxation re-aggregates the ENTIRE distance set every round (fine
+    unrolled-3, oracle-friendly); the frontier loop joins only the rows
+    discovered last round — per-round cost is O(frontier-adjacent edges),
+    the BFS shape that works on a 10^10-edge graph where whole-set
+    relaxation re-shuffles everything every hop.  An anti-join against the
+    settled set keeps each node's FIRST (minimal) discovery, frontier
+    checkpointing doubles as the empty-frontier termination action, and
+    the settled set is lineage-truncated every ``checkpoint_every`` rounds
+    like ``pagerank`` above.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # seed = the source node if it exists anywhere in the edge list
+    # (empty result for an unknown source, rather than a phantom row)
+    frontier = (
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
+        .filter(F.col("node") == source)
+        .limit(1)
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for i in range(max_iter):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(i + 1))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        if (i + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -139,6 +139,49 @@ class TestProductionPageRank:
         assert math.isclose(sum(r["rank"] for r in rows), 1.0, abs_tol=1e-6)
 
 
+class TestProductionBFS:
+    """The frontier loop (operators/graph.py::bfs_distances) vs the gate's
+    whole-set Bellman-Ford relaxation — same distances, early termination,
+    bounded lineage via per-round frontier checkpoints."""
+
+    def test_matches_whole_set_relaxation(self, spark):
+        """Frontier BFS == the kg_bfs_reach-style relaxation run to a fixed
+        point, on a 2k-node undirected graph (exact integer match)."""
+        from pyspark.sql import functions as F
+
+        from seq2rel_ds_spark.operators.graph import bfs_distances
+
+        e = TestProductionPageRank._edges(spark, 6_000, 2_000)
+        src = e.agg(F.min("src")).collect()[0][0]
+
+        # reference: monotone min-relaxation over the FULL set per round,
+        # iterated past the graph diameter
+        dist = e.agg(F.min("src").alias("node")).withColumn("dist", F.lit(0))
+        for _ in range(12):
+            hop = e.join(dist, e["src"] == dist["node"]).select(
+                F.col("dst").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+            )
+            dist = (
+                dist.unionByName(hop)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        want = {r["node"]: r["dist"] for r in dist.collect()}
+
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(e, src, max_iter=20).collect()
+        }
+        assert got == want
+
+    def test_unknown_source_is_empty(self, spark):
+        from seq2rel_ds_spark.operators.graph import bfs_distances
+
+        e = TestProductionPageRank._edges(spark, 300, 100)
+        assert bfs_distances(e, 10**9, max_iter=5).count() == 0
+
+
 class TestTfIdf:
     def test_topk_shape_and_order(self, spark):
         """<= 3 rows per doc, rk dense from 1, and rows ordered by the
