@@ -1409,6 +1409,31 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-10 tokens
+    (operators/sketch.py::cms_table/cms_estimate) beside their exact
+    counts — the bounded-state frequency sketch (4 rows × 1024 cells,
+    KB-sized forever) a 100 TB pipeline uses where an exact per-token
+    count table is another unbounded dataset.  Deterministic seeded-md5
+    rows make the estimate exactly reproducible in DuckDB; the CMS
+    guarantee est >= exact is visible in the gate output.  The sketch
+    build is one map-side-combined groupBy (shuffle O(state), not
+    O(tokens)); the estimate lookup broadcasts the KB-sized sketch."""
+    from seq2rel_ds_spark.operators.sketch import cms_estimate, cms_table
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    sketch = cms_table(toks, "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(10)
+    est = cms_estimate(sketch, top.select("token"), "token")
+    return top.join(F.broadcast(est), "token").select(
+        "token", "exact_cnt", "cms_est"
+    )
+
+
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling via the real
     stratified_sample operator (operators/split.py): cap the dominant
@@ -2086,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": q_split_assignment,
         "events_interval_join": q_events_interval_join,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "skewed_dedup": q_skewed_dedup,
         "hinted_lines": q_hinted_lines,
         "media_bmp_decode": q_media_bmp_decode,
@@ -2098,6 +2124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _KG_TERMS_SQL = ", ".join(f"'{t}'" for t in KG_TERMS)
+
+# the CMS hash argument: md5("<seed>:<token>") — mirrors sketch.hash32 over
+# concat_ws(":", seed, token)
+_CMS_MD5 = "md5(CAST(seed AS VARCHAR) || ':' || token)"
 
 # Shared CTEs re-deriving the _pubtator_corpus working text, token offsets
 # and term hits in DuckDB (closed form of what parse_documents consumes).
@@ -3505,6 +3535,46 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id
+        """,
+        # CMS rebuilt cell-for-cell: 4 seeded-md5 hash rows x 1024 cells,
+        # est = min over a token's cells (>= exact by construction)
+        "cms_heavy_hitters": f"""
+            WITH tok AS (
+              SELECT t AS token
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              WHERE t <> ''
+            ),
+            seeds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(seed)),
+            cells AS (
+              SELECT seed,
+                     CAST(({_hexbyte_sql(_CMS_MD5, 0)} * 16777216
+                         + {_hexbyte_sql(_CMS_MD5, 1)} * 65536
+                         + {_hexbyte_sql(_CMS_MD5, 2)} * 256
+                         + {_hexbyte_sql(_CMS_MD5, 3)}) % 1024 AS BIGINT) AS cell
+              FROM tok CROSS JOIN seeds
+            ),
+            sketch AS (SELECT seed, cell, count(*) AS cnt FROM cells GROUP BY seed, cell),
+            exact AS (SELECT token, count(*) AS exact_cnt FROM tok GROUP BY token),
+            top AS (
+              SELECT token, exact_cnt FROM exact
+              ORDER BY exact_cnt DESC, token ASC LIMIT 10
+            ),
+            probes AS (
+              SELECT token,
+                     seed,
+                     CAST(({_hexbyte_sql(_CMS_MD5, 0)} * 16777216
+                         + {_hexbyte_sql(_CMS_MD5, 1)} * 65536
+                         + {_hexbyte_sql(_CMS_MD5, 2)} * 256
+                         + {_hexbyte_sql(_CMS_MD5, 3)}) % 1024 AS BIGINT) AS cell
+              FROM top CROSS JOIN seeds
+            ),
+            est AS (
+              SELECT p.token, min(k.cnt) AS cms_est
+              FROM probes p JOIN sketch k USING (seed, cell)
+              GROUP BY p.token
+            )
+            SELECT t.token, t.exact_cnt, e.cms_est
+            FROM top t JOIN est e USING (token)
         """,
         # same 32-bit md5 draw, thresholded at rate * 2^32 per stratum
         "doc_sample_stratified": f"""

@@ -25,6 +25,8 @@ row_number's pick is not).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,73 @@ _HASH_SPACE = float(1 << 32)
 def hash32(col) -> Column:
     """Uniform 32-bit hash of a string column (first 4 md5 bytes)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def cms_table(
+    values: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a (multiset) value column: ``depth`` independent
+    hash rows × ``width`` cells -> (seed, cell, cnt), depth*width rows of
+    bounded state no matter how many distinct values stream through.
+
+    The frequency-sketch sibling of :func:`kmv_distinct`: mergeable (cells
+    add), deterministic (seeded md5 rows, so any engine rebuilds the same
+    table), and built by ONE partial-aggregated groupBy — the map-side
+    combine reduces every scan task's output to <= depth*width cells, so
+    the shuffle is O(state), not O(rows).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    cells = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            hash32(F.concat_ws(":", F.lit(str(s)), F.col(value_col))),
+                            F.lit(width),
+                        ).alias("cell"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("sc")
+    )
+    return cells.groupBy("sc.seed", "sc.cell").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, queries: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-frequency estimates for ``queries[value_col]`` against a
+    :func:`cms_table` sketch: est = min over the value's depth cells —
+    never an underestimate (every cell holds the true count plus
+    collisions).  The sketch is KB-sized by construction, so the lookup
+    join broadcasts; estimates for a dimension-sized query set cost one
+    broadcast hash join, no shuffle of the queries."""
+    probes = queries.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            hash32(F.concat_ws(":", F.lit(str(s)), F.col(value_col))),
+                            F.lit(width),
+                        ).alias("cell"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("sc"),
+    ).select(value_col, "sc.seed", "sc.cell")
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "cell"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
 
 
 def kmv_distinct(

@@ -51,3 +51,58 @@ class TestKMVSketch:
 
         with pytest.raises(ValueError, match="k >= 2"):
             kmv_distinct(df, "g", "v", k=1)
+
+
+class TestCountMinSketch:
+    def _values(self, spark):
+        # skewed multiset: v0 x100, v1 x10, 50 singletons; width=8 forces
+        # heavy collisions so overestimation actually occurs
+        rows = (
+            [("v0",)] * 100 + [("v1",)] * 10 + [(f"rare-{i}",) for i in range(50)]
+        )
+        return spark.createDataFrame(rows, "v string")
+
+    def test_never_underestimates(self, spark):
+        from seq2rel_ds_spark.operators.sketch import cms_estimate, cms_table
+
+        vals = self._values(spark)
+        sketch = cms_table(vals, "v", depth=4, width=8)
+        exact = {r["v"]: r["cnt"] for r in vals.groupBy("v").count().withColumnRenamed("count", "cnt").collect()}
+        est = {
+            r["v"]: r["cms_est"]
+            for r in cms_estimate(
+                sketch, vals.select("v").distinct(), "v", depth=4, width=8
+            ).collect()
+        }
+        assert est.keys() == exact.keys()
+        assert all(est[v] >= exact[v] for v in exact)
+        # the heavy hitter dominates its cells: estimate stays tight-ish
+        assert est["v0"] < 100 + 60  # can't exceed exact + all other mass
+
+    def test_bounded_state_and_mergeability(self, spark):
+        """depth*width rows max, and sketch(full) == cell-wise sum of
+        sketches of disjoint halves — the map-side-combine property."""
+        from pyspark.sql import functions as F
+
+        from seq2rel_ds_spark.operators.sketch import cms_table
+
+        vals = self._values(spark)
+        full = cms_table(vals, "v", depth=4, width=8)
+        assert full.count() <= 4 * 8
+        half1 = cms_table(vals.limit(80), "v", depth=4, width=8)
+        half2 = cms_table(vals.exceptAll(vals.limit(80)), "v", depth=4, width=8)
+        merged = (
+            half1.unionByName(half2)
+            .groupBy("seed", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert {tuple(r) for r in merged.collect()} == {
+            tuple(r) for r in full.collect()
+        }
+
+    def test_dims_validation(self, spark):
+        from seq2rel_ds_spark.operators.sketch import cms_table
+
+        df = spark.createDataFrame([("x",)], "v string")
+        with pytest.raises(ValueError, match="depth"):
+            cms_table(df, "v", depth=0)
