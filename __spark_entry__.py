@@ -632,15 +632,21 @@ def _pubtator_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     title = F.concat(F.lit("d"), doc_id_s)
     wtext = F.concat(title, F.lit(" "), F.col("text"))
     toks = F.split(wtext, " ")
+    # O(n) running char offsets (prefix-sum via aggregate), zipped OUTSIDE
+    # any lambda so the aggregate tree is evaluated once per reference —
+    # the earlier slice+array_join walk was O(n^2) STRING building and,
+    # multiplied by CollapseProject re-inlining this tree into downstream
+    # lambda references (see parse.py NOTE), dominated the gate wall time
+    offs = F.aggregate(
+        toks,
+        F.array(F.lit(0)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t) + F.lit(1))
+        ),
+    )
     ments = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.struct(
-                F.when(i == F.lit(0), F.lit(0))
-                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
-                .alias("start"),
-                t.alias("tok"),
-            ),
+        F.arrays_zip(
+            F.slice(offs, 1, F.size(toks)).alias("start"), toks.alias("tok")
         ),
         lambda s: F.array_contains(terms, s["tok"]),
     )
@@ -809,15 +815,21 @@ def _hypernym_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     title = F.concat(F.lit("d"), doc_id_s)
     wtext = F.concat(title, F.lit(" "), F.col("text"))
     toks = F.split(wtext, " ")
+    # O(n) running char offsets (prefix-sum via aggregate), zipped OUTSIDE
+    # any lambda so the aggregate tree is evaluated once per reference —
+    # the earlier slice+array_join walk was O(n^2) STRING building and,
+    # multiplied by CollapseProject re-inlining this tree into downstream
+    # lambda references (see parse.py NOTE), dominated the gate wall time
+    offs = F.aggregate(
+        toks,
+        F.array(F.lit(0)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t) + F.lit(1))
+        ),
+    )
     ments = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.struct(
-                F.when(i == F.lit(0), F.lit(0))
-                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
-                .alias("start"),
-                t.alias("tok"),
-            ),
+        F.arrays_zip(
+            F.slice(offs, 1, F.size(toks)).alias("start"), toks.alias("tok")
         ),
         lambda s: F.array_contains(terms, s["tok"]),
     )
@@ -1029,15 +1041,21 @@ def q_gda_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     title = F.concat(F.lit("d"), doc_id_s)
     wtext = F.concat(title, F.lit(" "), F.col("text"))
     toks = F.split(wtext, " ")
+    # O(n) running char offsets (prefix-sum via aggregate), zipped OUTSIDE
+    # any lambda so the aggregate tree is evaluated once per reference —
+    # the earlier slice+array_join walk was O(n^2) STRING building and,
+    # multiplied by CollapseProject re-inlining this tree into downstream
+    # lambda references (see parse.py NOTE), dominated the gate wall time
+    offs = F.aggregate(
+        toks,
+        F.array(F.lit(0)),
+        lambda acc, t: F.concat(
+            acc, F.array(F.element_at(acc, -1) + F.length(t) + F.lit(1))
+        ),
+    )
     ments = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.struct(
-                F.when(i == F.lit(0), F.lit(0))
-                .otherwise(F.length(F.array_join(F.slice(toks, 1, i), " ")) + 1)
-                .alias("start"),
-                t.alias("tok"),
-            ),
+        F.arrays_zip(
+            F.slice(offs, 1, F.size(toks)).alias("start"), toks.alias("tok")
         ),
         lambda s: F.array_contains(terms, s["tok"]),
     )

@@ -234,6 +234,16 @@ def parse_documents(
     )
     if reanchor:
         parsed = parsed.mapInPandas(_reanchor_batches, schema=StructType(out_fields))
+    # NOTE on expression cost (measured, 2026-08-17): with reanchor=False
+    # there is no plan barrier, and CollapseProject inlines the upstream
+    # column trees into every downstream lambda reference — codegen
+    # subexpression elimination does not reach inside higher-order-function
+    # bodies, so an EXPENSIVE ann_lines/members expression re-evaluates per
+    # reference.  Sort, Exchange and Generate barriers were all tried and do
+    # NOT stop the re-collapse below them.  The fix is to keep upstream
+    # column expressions cheap (see __spark_entry__._pubtator_corpus's O(n)
+    # offset prefix-sum); real sources read ann_lines from storage, where
+    # the reference is a plain column and re-evaluation is free.
 
     # Clusters: group members by uid, first-appearance order (util.py:211-217).
     member_uids = F.array_distinct(F.transform("members", lambda m: m["uid"]))
