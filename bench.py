@@ -940,14 +940,19 @@ def main() -> None:
             "no_clean_pair": not clean_pairs,
             "n_sane_pairs": len(sane),
             "n_inflation_eligible_pairs": len(eligible),
-            "best_clean_pair_efficiency": round(eff, 3),
+            # null when NO clean pair exists — the dirty-pair fallback value
+            # must not travel under a field name that claims cleanliness
+            # (it remains visible as best_pair_efficiency_dirty + pairs[])
+            "best_clean_pair_efficiency": round(eff, 3) if clean_pairs else None,
+            "best_pair_efficiency_dirty": None if clean_pairs else round(eff, 3),
             # the chosen pair's own same-window workload ceiling and the
             # engine's fraction of it — the cluster-relevant verdict (real
             # N->4N adds machines; the single-box memory coupling that sets
             # the ceiling does not exist there)
             "best_pair_kernel_ceiling": best.get("kernel_ceiling"),
             "best_pair_eff_vs_ceiling": best.get("eff_vs_ceiling"),
-            "median_clean_pair_efficiency": median_eff,
+            "median_clean_pair_efficiency": median_eff if clean_pairs else None,
+            "median_pair_efficiency_dirty": None if clean_pairs else median_eff,
             "probe_calib_sec": round(probe_calib, 3),
             "throughput_low": round(thr_lo, 2),
             "throughput_high": round(thr_hi, 2),
@@ -980,6 +985,10 @@ def main() -> None:
             "membw_ceiling_pair": membw_pair,
             "membw_ceiling_8_32": membw_legacy,
             "scaling_efficiency": round(eff, 3),
+            # true iff scaling_efficiency comes from a pair whose BOTH legs
+            # passed the steal/probe gates (mirrors value_leg_clean for the
+            # throughput headline)
+            "scaling_efficiency_clean": bool(clean_pairs),
             # single-box ceilings for the low->high proxy (real N->4N
             # clusters add machines; see BENCH.md).  hw = ALU busy-loop
             # (frequency only); kernel = the flagship's own per-doc Python
