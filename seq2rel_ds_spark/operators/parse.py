@@ -198,9 +198,18 @@ def parse_documents(
         ),
     )
     rels = F.array_distinct(rels)
-    rels = F.filter(
-        rels,
-        lambda r: F.forall(r["uids"], lambda u: F.array_contains(cluster_uids, u)),
+    # bind cluster_uids ONCE (1-element transform, same trick as clusters
+    # below): referenced inside the inner lambda it would re-evaluate the
+    # full members expression per (relation x uid) with no barrier below
+    rels = F.get(
+        F.transform(
+            F.array(cluster_uids),
+            lambda cu: F.filter(
+                rels,
+                lambda r: F.forall(r["uids"], lambda u: F.array_contains(cu, u)),
+            ),
+        ),
+        0,
     )
     df = df.withColumn("relations", rels)
 
