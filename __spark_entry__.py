@@ -2027,6 +2027,48 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous min-label propagation (2 unrolled
+    rounds) over the ABOVE-AVERAGE-weight subgraph — the community
+    primitive between cc_components (whole components, ignores weights)
+    and kg_pagerank (scores, no membership).  The strong-edge threshold
+    matters: the tiny-sf co-occurrence graph is near-complete, where LP on
+    the full graph converges to one label in one round (≡ CC, no signal).
+
+    Distributed shape: per round, ONE equi-join of the (small) label set
+    against the static edge list + one groupBy-min shuffle — identical
+    per-round cost envelope to kg_bfs_reach; the threshold attaches via a
+    broadcast 1-row aggregate (plan-gated, no BNLJ grows with data).  A
+    production loop would run rounds to a fixed point with localCheckpoint
+    truncation exactly like operators/graph.py::bfs_distances."""
+    co = q_kg_cooccurrence(spark, sf_dir)
+    avg = co.agg(F.avg("n_docs").alias("avg_docs"))
+    strong = co.crossJoin(F.broadcast(avg)).filter(
+        F.col("n_docs") > F.col("avg_docs")
+    )
+    und = strong.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(2):
+        neigh = und.join(labels, und["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic relevance/quality
     signal a training-data pipeline derives from its inverted index
@@ -2124,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_bfs_reach": q_kg_bfs_reach,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_label_propagation": q_kg_label_propagation,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
         "split_assignment": q_split_assignment,
@@ -3488,6 +3531,38 @@ def oracle_sql() -> dict[str, str]:
               WHERE (r.subj = c.subj AND r.obj = c.neg_obj)
                  OR (r.subj = c.neg_obj AND r.obj = c.subj)
             )
+        """,
+        # 2 unrolled rounds of synchronous min-label propagation over the
+        # above-average-weight subgraph: lK = min(own, neighbors' lK-1)
+        "kg_label_propagation": f"""
+            WITH co AS ({_KG_COOCCURRENCE_SQL}),
+            pos AS (
+              SELECT subj, obj FROM co
+              WHERE n_docs > (SELECT avg(n_docs) FROM co)
+            ),
+            und AS (
+              SELECT subj AS src, obj AS dst FROM pos
+              UNION ALL
+              SELECT obj AS src, subj AS dst FROM pos
+            ),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            l1 AS (
+              SELECT node, min(label) AS label FROM (
+                SELECT node, label FROM l0
+                UNION ALL
+                SELECT u.dst AS node, s.label
+                FROM und u JOIN l0 s ON u.src = s.node
+              ) GROUP BY node
+            ),
+            l2 AS (
+              SELECT node, min(label) AS label FROM (
+                SELECT node, label FROM l1
+                UNION ALL
+                SELECT u.dst AS node, s.label
+                FROM und u JOIN l1 s ON u.src = s.node
+              ) GROUP BY node
+            )
+            SELECT node, label FROM l2
         """,
         "tfidf_top_terms": """
             WITH tok AS (

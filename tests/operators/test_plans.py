@@ -152,11 +152,12 @@ class TestRelationalPlans:
         shapes.  Documented exceptions, each bounded by construction:
         ann_topk's query side is 10 vectors (the exact brute-force
         baseline — the general shape is lsh_topk, which this test does
-        cover); kg_pagerank, tfidf_top_terms and kg_negative_samples attach
-        a 1-ROW broadcast scalar aggregate (node/corpus/entity count) via
-        crossJoin — a BNLJ whose inner side is a single row is O(rows),
-        shuffle-free at any scale (and a constant-key equi-join folds to
-        the same shape)."""
+        cover); kg_pagerank, tfidf_top_terms, kg_negative_samples and
+        kg_label_propagation attach a 1-ROW broadcast scalar aggregate
+        (node/corpus/entity count or avg-weight threshold) via crossJoin —
+        a BNLJ whose inner side is a single row is O(rows), shuffle-free
+        at any scale (and a constant-key equi-join folds to the same
+        shape)."""
         import __spark_entry__ as em
 
         allowed_bnlj = {
@@ -164,6 +165,7 @@ class TestRelationalPlans:
             "kg_pagerank",
             "tfidf_top_terms",
             "kg_negative_samples",
+            "kg_label_propagation",
         }
         for name, fn in em.queries().items():
             plan = _plan(fn(spark, SF))
