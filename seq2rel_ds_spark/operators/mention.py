@@ -396,12 +396,21 @@ def make_triple_partial_processor(
         counts: Counter = Counter()
         for html in pdf["html"]:
             text = extract_text_from_html(bytes(html))
-            bounds = _sent_bounds(text)
-            cues = [
-                (bisect_right(bounds, s), s, preds[w]) for s, w in cue_scan(text)
-            ]
-            if not cues:
+            # cue scan FIRST: a cue-free doc can emit nothing, so the
+            # sentence-bound regex and the dictionary scan are skipped
+            # entirely for it (the cue scan is the cheapest of the three).
+            # Neutral on the synthetic bench corpus (0 cue-free docs) —
+            # the win is on real webtext, where most pages mention no
+            # relation cue at all.  Counter.update over a generator was
+            # also tried for the per-instance count loop and REJECTED:
+            # measured ~0.85x (generator frame per instance beats the
+            # plain loop's C-level dict __setitem__ in the wrong
+            # direction).
+            hits = cue_scan(text)
+            if not hits:
                 continue
+            bounds = _sent_bounds(text)
+            cues = [(bisect_right(bounds, s), s, preds[w]) for s, w in hits]
             mentions = []
             ap = mentions.append
             for m in pat.finditer(text):
