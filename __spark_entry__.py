@@ -2038,9 +2038,12 @@ def q_kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed shape: per round, ONE equi-join of the (small) label set
     against the static edge list + one groupBy-min shuffle — identical
     per-round cost envelope to kg_bfs_reach; the threshold attaches via a
-    broadcast 1-row aggregate (plan-gated, no BNLJ grows with data).  A
-    production loop would run rounds to a fixed point with localCheckpoint
-    truncation exactly like operators/graph.py::bfs_distances."""
+    broadcast 1-row aggregate (plan-gated, no BNLJ grows with data).  The
+    production loop — the same per-round dataflow run to a FIXED POINT
+    with per-round localCheckpoint truncation — is
+    operators/graph.py::label_propagation, pinned label-identical to this
+    2-round unrolling and convergence-tested on a >=100k-edge graph by
+    tests/operators/test_graph_rank.py::TestProductionLabelPropagation."""
     co = q_kg_cooccurrence(spark, sf_dir)
     avg = co.agg(F.avg("n_docs").alias("avg_docs"))
     strong = co.crossJoin(F.broadcast(avg)).filter(

@@ -368,10 +368,29 @@ def _membw_ceiling(cores_low: int, cores_high: int, mb_per_proc: int = 256, pass
     per-proc streaming takes 2x as long when all cores demand bandwidth.
     The flagship's real task body streams ~2.5 GB of pages per proc, so
     this bounds IT the way the ALU ceiling bounds compute (VERDICT r4 #2:
-    pin the 8->32 residual on a measured resource, not speculation)."""
+    pin the 8->32 residual on a measured resource, not speculation).
+
+    mb_per_proc is capped so all probe arrays together stay within 1/4 of
+    MemAvailable (floor 64 MB — still far beyond LLC, so the probe keeps
+    measuring DRAM, not cache): at the default 256 MB x 32 procs the
+    transient is 8 GB, which on a smaller box would swap and contaminate
+    the very campaign the probe is calibrating.  Workers are closures, so
+    this requires the 'fork' mp start method (the Linux default — this
+    repo's whole bench harness is Linux-only: /proc/stat steal reads,
+    sched_setaffinity pinning)."""
     import multiprocessing as mp
 
     import numpy as np
+
+    try:
+        with open("/proc/meminfo") as fh:
+            avail_kb = next(
+                int(line.split()[1]) for line in fh if line.startswith("MemAvailable")
+            )
+        cap_mb = int(avail_kb * 1024 * 0.25 / max(cores_high, 1) / (1 << 20))
+        mb_per_proc = max(64, min(mb_per_proc, cap_mb))
+    except (OSError, StopIteration, ValueError, IndexError):
+        pass
 
     n_elem = mb_per_proc * (1 << 20) // 8
 
@@ -904,6 +923,13 @@ def main() -> None:
         "value_leg_clean": bool(best_max) or not hi["contaminated"],
         "unit": "triples/sec",
         "queries": timings,
+        # the per-query timing leg ALWAYS runs at local[cpus] (it is a
+        # separate SparkSession from the scaling legs), so cross-round
+        # per-query comparisons are apples-to-apples regardless of which
+        # scaling leg ends up clean — recorded explicitly because r05's
+        # headline fell back to the 16-core leg and the round-over-round
+        # query numbers became unreadable without the core count
+        "queries_cores": cpus,
         "ann_recall": recall,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "kg_scaling": {

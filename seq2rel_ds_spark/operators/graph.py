@@ -19,9 +19,15 @@ Scale notes (100 TB / 10^10-edge posture):
     co-locates without a full shuffle of the big side
   * the node count is a one-scalar setup aggregate, folded into literals
     (no per-round broadcast)
-  * every node must have out-degree >= 1 (true for undirected doubling —
-    the KG co-occurrence graph's shape); dangling-node mass redistribution
-    is deliberately out of scope, matching the gate's semantics
+  * every node must have out-degree >= 1 AND in-degree >= 1 (both hold
+    automatically for undirected doubling — the KG co-occurrence graph's
+    shape).  Out-degree 0 (dangling) would leak rank mass; in-degree 0
+    would drop the node from the output after round 1, because each
+    round rebuilds ranks from groupBy(dst) and a never-dst node receives
+    no contributions (true PageRank would keep it at (1-d)/n).  Both
+    redistributions are deliberately out of scope, matching the gate's
+    semantics — callers with general directed edges should pre-add
+    self-loops or symmetrize first.
 """
 
 from __future__ import annotations
@@ -38,6 +44,8 @@ def pagerank(
 ) -> DataFrame:
     """edges(src, dst) -> (node, rank), ``n_iter`` power-iteration rounds.
 
+    Requires every node to appear as BOTH src and dst (see module
+    docstring; undirected-doubled inputs satisfy this by construction).
     Row-identical (at 6 dp) to the unrolled gate computation for the same
     iteration count — pinned by test_graph_rank.py on a >=100k-edge graph.
     """
@@ -69,6 +77,70 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src, dst) -> (node, label): synchronous MIN-label propagation
+    run to a FIXED POINT — the production loop behind the fixed-unrolled
+    ``kg_label_propagation`` gate (__spark_entry__.py), which runs this
+    exact per-round dataflow 2 unrolled rounds for the oracle.  Pass both
+    edge directions for undirected community detection (the gate's
+    strong-edge subgraph is doubled); at the fixed point of an undirected
+    graph every node carries its connected component's minimum node id.
+
+    Per round: ONE equi-join of the node-sized label set against the
+    static edge list + one groupBy-min shuffle — the kg_bfs_reach cost
+    envelope.  Labels are seeded from src nodes (label = own id); a
+    dst-only node is adopted into the label set on its first round with
+    the min of its in-neighbors' labels, mirroring the gate.
+
+    Checkpoint discipline: the new label set is ``localCheckpoint``-ed
+    EVERY round, like ``bfs_distances``' frontier below — the eager
+    materialization doubles as the fixed-point test's evaluation (the
+    convergence join would otherwise recompute the whole round lineage,
+    O(i^2) total), and it truncates the plan so round i's tree never
+    nests rounds 0..i-1.  The set is node-sized, not edge-sized, so the
+    per-round checkpoint write is the small side of the loop.
+
+    Convergence: min-propagation is monotone non-increasing per node, so
+    the fixed point is reached exactly when no node's label drops in a
+    round (checked with a node-keyed left join + isEmpty — a bounded
+    limit-1 scan, not a count).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = e.join(labels, e["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        nxt = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # left join: a node first adopted this round (dst-only, absent
+        # from the previous label set) counts as changed
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node", "left")
+            .filter(
+                F.col("o.label").isNull() | (F.col("n.label") < F.col("o.label"))
+            )
+        )
+        done = changed.isEmpty()
+        labels = nxt
+        if done:
+            break
+    return labels
 
 
 def bfs_distances(

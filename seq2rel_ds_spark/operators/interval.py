@@ -51,6 +51,14 @@ def interval_join(
     if bucket_width_us <= 0:
         raise ValueError(f"bucket_width_us must be positive, got {bucket_width_us}")
     w = F.lit(int(bucket_width_us))
+    # collision-proof working column: keep prefixing until the name is
+    # free in BOTH schemas (deterministic, so repeated plans stay
+    # cache/canonicalization-friendly — no uuid churn), instead of
+    # silently overwriting and then dropping a caller's `_bucket`
+    bcol = "_bucket"
+    taken = set(events.columns) | set(intervals.columns)
+    while bcol in taken:
+        bcol = "_" + bcol
 
     def _bucket(col: str):
         # exact integer floor-division: (x - x % w) / w divides an exact
@@ -59,11 +67,11 @@ def interval_join(
         return ((F.col(col) - F.pmod(F.col(col), w)) / w).cast("long")
 
     iv = intervals.withColumn(
-        "_bucket", F.explode(F.sequence(_bucket(start_us), _bucket(end_us)))
+        bcol, F.explode(F.sequence(_bucket(start_us), _bucket(end_us)))
     )
-    ev = events.withColumn("_bucket", _bucket(event_ts_us))
-    joined = ev.join(iv, [*keys, "_bucket"]).filter(
+    ev = events.withColumn(bcol, _bucket(event_ts_us))
+    joined = ev.join(iv, [*keys, bcol]).filter(
         (F.col(event_ts_us) >= F.col(start_us))
         & (F.col(event_ts_us) <= F.col(end_us))
     )
-    return joined.drop("_bucket")
+    return joined.drop(bcol)

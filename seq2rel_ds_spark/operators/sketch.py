@@ -81,7 +81,13 @@ def cms_estimate(
     never an underestimate (every cell holds the true count plus
     collisions).  The sketch is KB-sized by construction, so the lookup
     join broadcasts; estimates for a dimension-sized query set cost one
-    broadcast hash join, no shuffle of the queries."""
+    broadcast hash join, no shuffle of the queries.
+
+    The sketch table stores only NONZERO cells, so the probe join is a
+    LEFT join with absent cells coalesced to 0 (standard CMS semantics:
+    an empty cell means count 0).  A value hashing to >= 1 empty cell
+    therefore estimates 0 — including values never inserted at all,
+    which return a 0 row rather than silently vanishing."""
     probes = queries.select(
         value_col,
         F.explode(
@@ -100,9 +106,9 @@ def cms_estimate(
         ).alias("sc"),
     ).select(value_col, "sc.seed", "sc.cell")
     return (
-        probes.join(F.broadcast(sketch), ["seed", "cell"])
+        probes.join(F.broadcast(sketch), ["seed", "cell"], "left")
         .groupBy(value_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 

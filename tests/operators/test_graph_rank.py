@@ -182,6 +182,94 @@ class TestProductionBFS:
         assert bfs_distances(e, 10**9, max_iter=5).count() == 0
 
 
+class TestProductionLabelPropagation:
+    """The fixed-point loop (operators/graph.py::label_propagation) vs the
+    kg_label_propagation gate's 2-round unrolled dataflow — exact label
+    parity when capped at the gate's round count, true convergence on a
+    >=100k-edge multi-community graph, bounded lineage."""
+
+    @staticmethod
+    def _block_edges(spark, n_nodes: int, block: int):
+        """Disjoint rings of `block` nodes (undirected-doubled): the
+        min-LP fixed point labels every node with its block's minimum,
+        and ring diameter block//2 forces multiple propagation rounds."""
+        from pyspark.sql import functions as F
+
+        base = spark.range(n_nodes).select(
+            F.col("id").alias("a"),
+            # successor within the ring: wraps to the block's first node
+            (
+                (F.col("id") - F.col("id") % block)
+                + (F.col("id") % block + 1) % block
+            ).alias("b"),
+        )
+        return base.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+
+    def test_parity_with_unrolled_gate_at_2_rounds(self, spark):
+        """label_propagation(max_iter=2) == the gate's exact 2-round
+        unrolled dataflow, label-for-label (integer min labels — exact
+        equality, no float tolerance), on a >=100k-edge graph."""
+        from pyspark.sql import functions as F
+
+        from seq2rel_ds_spark.operators.graph import label_propagation
+
+        e = TestProductionPageRank._edges(spark, 60_000, 20_000)
+        assert e.count() >= 100_000
+
+        labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for _ in range(2):
+            neigh = e.join(labels, e["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), "label"
+            )
+            labels = (
+                labels.unionByName(neigh)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        want = {r["node"]: r["label"] for r in labels.collect()}
+
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(e, max_iter=2).collect()
+        }
+        assert got == want
+
+    def test_converges_to_component_minima(self, spark):
+        """Run to the fixed point on 100k+ doubled ring edges split into
+        50k-node / 8-node-block communities: every node must carry its
+        block's minimum id (requires >= 4 propagation rounds — beyond the
+        gate's unroll depth — and early termination well under max_iter)."""
+        from seq2rel_ds_spark.operators.graph import label_propagation
+
+        e = self._block_edges(spark, 56_000, 8)
+        assert e.count() >= 100_000
+        rows = label_propagation(e, max_iter=20).collect()
+        assert len(rows) == 56_000
+        assert all(r["label"] == r["node"] - r["node"] % 8 for r in rows)
+
+    def test_lineage_stays_bounded(self, spark):
+        """The per-round localCheckpoint truncates the plan: the returned
+        label set's optimized plan is rooted at a checkpoint leaf, not a
+        nested max_iter-round tree."""
+        from seq2rel_ds_spark.operators.graph import label_propagation
+
+        e = self._block_edges(spark, 800, 8)
+        out = label_propagation(e, max_iter=10)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan
+        # a checkpoint leaf, not the unrolled loop: no join survives
+        assert "Join" not in plan
+
+
 class TestTfIdf:
     def test_topk_shape_and_order(self, spark):
         """<= 3 rows per doc, rk dense from 1, and rows ordered by the

@@ -63,6 +63,24 @@ class TestIntervalJoin:
         out = interval_join(events, intervals, ["key"], "ts", "start", "end")
         assert out.count() == out.select("eid", "iid").distinct().count()
 
+    def test_caller_bucket_column_survives(self, spark):
+        """An input that already carries a `_bucket` column keeps it
+        (value-intact) in the result — the working column picks a free
+        name instead of overwriting and dropping the caller's (ADVICE
+        r5)."""
+        from seq2rel_ds_spark.operators.interval import interval_join
+
+        events, intervals = self._data(spark)
+        ev = events.withColumn("_bucket", F.col("eid") * 10)
+        iv = intervals.withColumn("_bucket", F.lit(-1))
+        out = interval_join(ev.drop("_bucket"), iv, ["key"], "ts", "start", "end")
+        assert "_bucket" in out.columns  # intervals-side column preserved
+        assert all(r["_bucket"] == -1 for r in out.collect())
+        out2 = interval_join(ev, intervals, ["key"], "ts", "start", "end")
+        assert {(r["eid"], r["_bucket"]) for r in out2.collect()} == {
+            (r["eid"], r["eid"] * 10) for r in out2.collect()
+        }
+
     def test_bucket_width_validation(self, spark):
         from seq2rel_ds_spark.operators.interval import interval_join
 

@@ -100,6 +100,31 @@ class TestCountMinSketch:
             tuple(r) for r in full.collect()
         }
 
+    def test_unseen_values_estimate_zero_or_collisions(self, spark):
+        """Standard CMS semantics for values never inserted: an absent
+        cell counts as 0, so a probe hashing to >= 1 empty cell returns
+        estimate 0 — and NO probe may vanish from the output (ADVICE r5:
+        the inner-join formulation dropped all-empty-cell probes and
+        inflated partially-empty ones)."""
+        from seq2rel_ds_spark.operators.sketch import cms_estimate, cms_table
+
+        vals = self._values(spark)
+        # wide sketch: unseen probes are near-certain to hit an empty cell
+        sketch = cms_table(vals, "v", depth=4, width=4096)
+        probes = spark.createDataFrame(
+            [(f"never-seen-{i}",) for i in range(20)], "v string"
+        )
+        est = {
+            r["v"]: r["cms_est"]
+            for r in cms_estimate(sketch, probes, "v", depth=4, width=4096).collect()
+        }
+        # every probe present (none silently dropped) ...
+        assert set(est) == {f"never-seen-{i}" for i in range(20)}
+        # ... and with 52 distinct inserted values in 4096 cells per row,
+        # an unseen value's 4 cells are all-nonzero with prob
+        # ~(52/4096)^4 ~ 3e-8: all 20 estimate exactly 0
+        assert all(v == 0 for v in est.values())
+
     def test_dims_validation(self, spark):
         from seq2rel_ds_spark.operators.sketch import cms_table
 
