@@ -539,6 +539,41 @@ def _kernel_ceiling(
     return round((t_low / t_high) / ratio, 3) if t_high else 1.0
 
 
+def _kernel_single_core(pages_path: str, n_files: int = 8) -> float:
+    """Same-window ABSOLUTE kernel rate: the flagship task body on ONE
+    pinned core, in docs/s/core.  Unlike the ceiling probes (ratios), this
+    is directly comparable across campaigns and rounds on the same box
+    (recorded history: ~26.8-27.7k docs/s/core after the round-5 hybrid
+    linker), so every artifact carries the code-vs-window discriminator:
+    a slow full-width leg next to an on-history single-core rate is the
+    window's doing (bandwidth theft the steal%% gate can't see); a slow
+    single-core rate is a code regression.  Added in round 6 after a
+    bandwidth-degraded window (membw_8_32 0.304 vs the usual 0.53-0.66)
+    read 35%% under the full-width record while this probe sat ON history.
+    """
+    import glob as _glob
+    import multiprocessing as mp
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(_os.path.join(pages_path, "*.parquet")))[:n_files]
+    if not files:
+        return 0.0
+    n_docs = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    batch = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"))
+    q = mp.Queue()
+    p = mp.Process(target=_kernel_worker, args=(files, batch, q))
+    p.start()
+    try:
+        _os.sched_setaffinity(p.pid, {0})
+    except OSError:
+        pass
+    sec = q.get()
+    p.join()
+    return round(n_docs / sec, 1) if sec else 0.0
+
+
 def _spawn_kg(cores: int, pages_path: str) -> dict:
     """Run one parallelism level in its own JVM, pinned to exactly ``cores``
     CPUs.  Pinning matters: Python UDF workers are separate OS processes
@@ -856,39 +891,51 @@ def main() -> None:
         max_budget = int(os.environ.get("SPARK_GRAFT_KG_MAX_BUDGET_SEC", "110"))
         m_t0 = time.time()
         if cores_max > cores_high:
-            while time.time() - m_t0 < max_budget and len(max_runs) < 4:
+            while time.time() - m_t0 < max_budget and len(max_runs) < 5:
                 _wait_for_quiet(probe_calib, time.time() + 20)
                 r = _measured_kg(cores_max, pages_path, probe_calib)
                 if r is None:
                     continue
                 max_runs.append(r)
                 if not r["contaminated"]:
-                    # legacy low leg follows the headline-pair protocol:
-                    # quiet-window hold + the stricter low-core steal gate
-                    # (ADVICE r4 — it used to be judged by the looser
-                    # full-width standard)
-                    _wait_for_quiet(probe_calib, time.time() + 20)
-                    r_lo = _measured_kg(
-                        legacy_low, pages_path, probe_calib, steal_max=1.0
-                    )
-                    if r_lo is not None:
-                        legacy_pair = {
-                            "cores_low": legacy_low,
-                            "cores_high": cores_max,
-                            "seconds_low": r_lo["seconds"],
-                            "seconds_high": r["seconds"],
-                            "efficiency": round(
-                                (r_lo["seconds"] / r["seconds"])
-                                / (cores_max / legacy_low),
-                                3,
-                            ),
-                            "clean": not (
-                                r_lo["contaminated"] or r["contaminated"]
-                            ),
-                            "hw_ceiling": ceiling_legacy,
-                            "membw_ceiling": membw_legacy,
-                        }
-                    break
+                    if legacy_pair is None:
+                        # legacy low leg follows the headline-pair protocol:
+                        # quiet-window hold + the stricter low-core steal gate
+                        # (ADVICE r4 — it used to be judged by the looser
+                        # full-width standard)
+                        _wait_for_quiet(probe_calib, time.time() + 20)
+                        r_lo = _measured_kg(
+                            legacy_low, pages_path, probe_calib, steal_max=1.0
+                        )
+                        if r_lo is not None:
+                            legacy_pair = {
+                                "cores_low": legacy_low,
+                                "cores_high": cores_max,
+                                "seconds_low": r_lo["seconds"],
+                                "seconds_high": r["seconds"],
+                                "efficiency": round(
+                                    (r_lo["seconds"] / r["seconds"])
+                                    / (cores_max / legacy_low),
+                                    3,
+                                ),
+                                "clean": not (
+                                    r_lo["contaminated"] or r["contaminated"]
+                                ),
+                                "hw_ceiling": ceiling_legacy,
+                                "membw_ceiling": membw_legacy,
+                            }
+                    # one clean run is the floor; a second (budget
+                    # permitting) guards the headline against a clean-but-
+                    # slow sample — the gates pass at steal <= 2%, but a
+                    # bandwidth-stealing co-tenant invisible to steal%% can
+                    # still slow a single clean leg 1.5x (round-6 window),
+                    # and min-of-two clean halves that exposure
+                    if sum(1 for m in max_runs if not m["contaminated"]) >= 2:
+                        break
+        # same-window absolute kernel rate (docs/s on ONE pinned core):
+        # the cross-campaign code-vs-window discriminator recorded beside
+        # every headline (see _kernel_single_core)
+        kernel_1core = _kernel_single_core(pages_path)
         # headline 'value' only ever comes from a CLEAN full-width run
         # (ADVICE r4: the old `clean_max or max_runs` fallback let the
         # fastest CONTAMINATED run become the headline, flagged only deep
@@ -1003,6 +1050,11 @@ def main() -> None:
                 for r in max_runs
             ],
             "pair_8_32": legacy_pair,
+            # absolute single-core kernel rate measured in THIS window
+            # (docs/s/core; history ~26.8-27.7k post-round-5) — on-history
+            # value + slow legs = degraded window; low value = code
+            # regression
+            "kernel_1core_docs_per_sec": kernel_1core,
             "hw_ceiling_8_32": ceiling_legacy,
             # streaming-sum bandwidth ceilings (see _membw_ceiling): the
             # resource the full-width legs actually exhaust — at 8->32 the
