@@ -888,7 +888,10 @@ def main() -> None:
         # capped, not engine-capped.
         max_runs, legacy_pair = [], None
         legacy_low = max(cores_max // 4, 1)
-        max_budget = int(os.environ.get("SPARK_GRAFT_KG_MAX_BUDGET_SEC", "110"))
+        # 140s (was 110): hostile windows burn 1-2 attempts on contaminated
+        # legs before a clean one lands (round-6 campaigns); one extra
+        # attempt's room costs ~30s against a ~10-min campaign
+        max_budget = int(os.environ.get("SPARK_GRAFT_KG_MAX_BUDGET_SEC", "140"))
         m_t0 = time.time()
         if cores_max > cores_high:
             while time.time() - m_t0 < max_budget and len(max_runs) < 5:
