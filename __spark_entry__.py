@@ -457,6 +457,45 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.6, n=2, max_shingle_df=100)
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/decontaminate.py): the eval
+    corpus is the md5-free deterministic slice doc_id % 97 == 0; every
+    remaining doc sharing >= 1 word-trigram shingle with it is reported
+    with its overlap counts.  Scale shape: the eval shingle-hash set
+    broadcasts, the corpus side is never shuffled (n_shingles rides along
+    from F.size before the explode; only semi-join survivors reach the
+    groupBy).  The oracle restates the same slice, shingle sets, and
+    intersection counts on raw shingles."""
+    from seq2rel_ds_spark.operators.decontaminate import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = ngram_contamination(train, ev, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_dirty_shingles").cast("long").alias("n_dirty_shingles"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "dirty_frac",
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition quality signals (textstats.py::
+    with_repetition_stats): duplicate-token and duplicate-trigram
+    fractions, pure Catalyst, integer-count arithmetic restated exactly
+    by the oracle."""
+    from seq2rel_ds_spark.operators.textstats import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_token_frac",
+        "dup_trigram_frac",
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2172,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_resume": q_pipeline_resume,
         # -- new this round ----------------------------------------------
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition": q_doc_repetition,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -2207,8 +2248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pubtator_relations": q_pubtator_relations,
         "linearized_lines": q_linearized_lines,
         "linearized_hints": q_linearized_hints,
-        "kg_degree": q_kg_degree,
-        "kg_two_hop": q_kg_two_hop,
         # -- recorded five times: flagship family kept inside the window --
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": q_events_hourly,
@@ -2216,6 +2255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         # ------------------- position 51+ (past the driver window) ------
+        "kg_degree": q_kg_degree,
+        "kg_two_hop": q_kg_two_hop,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_volume": q5_nation_volume,
         "events_sessions": q_events_sessions,
@@ -3423,6 +3464,57 @@ def oracle_sql() -> dict[str, str]:
                    round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
             FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
             WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) >= 0.6
+        """,
+        # decontamination: eval slice doc_id % 97 == 0; per-doc DISTINCT
+        # trigram shingles (dedup.shingles_col semantics incl. the <3-token
+        # whole-doc fallback); contaminated = >= 1 shared shingle
+        "doc_decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                       i -> array_to_string(toks[i:i+2], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+            tr AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0),
+            sz AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+            dirty AS (
+              SELECT t.id, count(*) AS n_dirty
+              FROM tr t JOIN ev e ON t.shingle = e.shingle
+              GROUP BY t.id
+            )
+            SELECT d.id AS doc_id, d.n_dirty AS n_dirty_shingles, s.n_shingles,
+                   round(d.n_dirty * 1.0 / s.n_shingles, 4) AS dirty_frac
+            FROM dirty d JOIN sz s ON s.id = d.id
+        """,
+        # repetition: raw (non-lowered) whitespace tokens per textstats.
+        # tokens_col; trigrams WITH multiplicity (list, not set)
+        "doc_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+2], ' '))
+                          ELSE []::VARCHAR[] END AS tris
+              FROM t
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+                     AS dup_token_frac,
+                   CASE WHEN len(tris) > 0
+                        THEN round(1.0 - len(list_distinct(tris)) * 1.0 / len(tris), 4)
+                        ELSE 0.0 END AS dup_trigram_frac
+            FROM tri
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

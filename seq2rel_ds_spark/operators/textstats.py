@@ -48,6 +48,52 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of
+    duplicate tokens and duplicate token trigrams — high values mark the
+    degenerate boilerplate/keyword-stuffing pages a pre-training filter
+    drops.  Adds n_tokens, dup_token_frac, dup_trigram_frac (4dp).
+
+    Pure Catalyst (split + transform + array_distinct; no UDF, partial-
+    aggregation-free per-row math), and integer-count arithmetic so the
+    DuckDB oracle reproduces every value exactly.  Trigrams are counted
+    WITH multiplicity (unlike dedup.shingles_col, which is a set): the
+    signal is how much of the doc is repeats, so duplicates must weigh.
+    """
+    toks = tokens_col(F.col(text_col))
+    k = F.size(toks) - F.lit(2)
+    tris = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+                4,
+            ),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.when(
+                F.size(tris) > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(tris)) / F.size(tris).cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0, 1]:
 
