@@ -496,6 +496,98 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence-pack assignment (operators/pack.py):
+    md5-bucketed deterministic order, integer running offsets, fixed
+    256-token packs.  The oracle restates the identical window
+    specification (PARTITION BY bucket ORDER BY md5 sort key), so any
+    drift in bucketing, ordering or offset arithmetic breaks values."""
+    from seq2rel_ds_spark.operators.pack import pack_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_assign(docs, ctx=256, n_buckets=8).select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_tokens",
+        "start_off",
+        "pack_idx",
+        F.col("pack_off").cast("long").alias("pack_off"),
+    )
+
+
+def q_host_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (operators/weblink.py): pages are synthesized
+    in Catalyst around each document — src url on host h{doc_id%5}, plus
+    (doc_id%3)+1 anchors to hosts h{(7*doc_id+k)%11} and one relative
+    href that must be dropped — then run through the REAL extractor
+    (decode + regexp_extract_all + host regex).  The oracle states the
+    expected edges in closed form from the synthesis arithmetic, so the
+    whole regex chain is audited end-to-end."""
+    from seq2rel_ds_spark.operators.weblink import host_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(did, F.lit(3))),
+            lambda k: F.concat(
+                F.lit('<a href="https://h'),
+                F.pmod(did * 7 + k, F.lit(11)).cast("string"),
+                F.lit(".example.com/p"),
+                k.cast("string"),
+                F.lit('">x</a>'),
+            ),
+        ),
+        "\n",
+    )
+    html_s = F.concat(
+        F.lit('<html><body><a href="/local">rel</a>\n'),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(did, F.lit(5)).cast("string"),
+            F.lit(".example.com/d"),
+            did.cast("string"),
+        ).alias("url"),
+        F.encode(html_s, "utf-8").alias("html"),
+    )
+    return host_links(pages)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style filter verdict (textstats.py::
+    with_filter_flags): five integer-exact rules + final keep, restated
+    rule-for-rule by the oracle in the same cross-multiplied int64
+    arithmetic."""
+    from seq2rel_ds_spark.operators.textstats import with_filter_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    # thresholds chosen so EVERY rule fires on the sf0.01 corpus
+    # (19/99/13/1/95 docs per flag, 305/500 kept) — the gate exercises all
+    # five verdict paths, not just the easy two
+    flagged = with_filter_flags(
+        docs,
+        min_tokens=15,
+        max_tokens=80,
+        avg_len_lo_x10=40,
+        avg_len_hi_x10=50,
+        dup3_pct_max=5,
+        stop_per_64_min=2,
+    )
+    return flagged.select(
+        "doc_id",
+        F.col("f_short").cast("long").alias("f_short"),
+        F.col("f_long").cast("long").alias("f_long"),
+        F.col("f_wordlen").cast("long").alias("f_wordlen"),
+        F.col("f_dup3").cast("long").alias("f_dup3"),
+        F.col("f_stop").cast("long").alias("f_stop"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2213,6 +2305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition": q_doc_repetition,
+        "seq_pack": q_seq_pack,
+        "host_links": q_host_links,
+        "quality_filter": q_quality_filter,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -3515,6 +3610,86 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(1.0 - len(list_distinct(tris)) * 1.0 / len(tris), 4)
                         ELSE 0.0 END AS dup_trigram_frac
             FROM tri
+        """,
+        # identical window spec (PARTITION BY md5 bucket ORDER BY md5 key,
+        # running int64 sum) -> bit-identical pack offsets
+        "seq_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5('pack:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+                     CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, sort_key, n_tokens,
+                     CAST((({_hexbyte_sql('sort_key', 0)}) * 256
+                           + ({_hexbyte_sql('sort_key', 1)})) % 8 AS BIGINT) AS bucket
+              FROM t
+            ),
+            w AS (
+              SELECT doc_id, bucket, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY sort_key
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_off
+              FROM b
+            )
+            SELECT doc_id, bucket, n_tokens, start_off,
+                   CAST(start_off // 256 AS BIGINT) AS pack_idx,
+                   CAST(start_off % 256 AS BIGINT) AS pack_off
+            FROM w
+        """,
+        # closed-form expected edges from the synthesis arithmetic: src host
+        # h{doc_id%5}, dst hosts h{(7*doc_id+k)%11} for k in 0..doc_id%3
+        # (the relative href carries no host and must not appear)
+        "host_links": """
+            WITH l AS (
+              SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS src_host,
+                     'h' || CAST((doc_id * 7 + k) % 11 AS VARCHAR) || '.example.com' AS dst_host
+              FROM documents CROSS JOIN range(0, 3) t(k)
+              WHERE k <= doc_id % 3
+            )
+            SELECT src_host, dst_host, COUNT(*) AS n_links
+            FROM l GROUP BY src_host, dst_host
+        """,
+        # rule-for-rule integer restatement of with_filter_flags (thresholds
+        # pinned by the gate: 15/80 tokens, avg len [4.0, 5.0], dup-trigram
+        # > 5%, stopword < 2/64)
+        "quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n,
+                     CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                          AS BIGINT) AS sum_len,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+2], ' '))
+                          ELSE []::VARCHAR[] END AS tris,
+                     CAST(len(list_filter(toks,
+                              x -> list_contains(['the','a','of','and','to','in'], lower(x))))
+                          AS BIGINT) AS n_stop
+              FROM t
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(n < 15 AS BIGINT) AS f_short,
+                     CAST(n > 80 AS BIGINT) AS f_long,
+                     CAST((10 * sum_len < 40 * n) OR (10 * sum_len > 50 * n) AS BIGINT)
+                       AS f_wordlen,
+                     CAST(len(tris) > 0
+                          AND 100 * (len(tris) - len(list_distinct(tris))) > 5 * len(tris)
+                          AS BIGINT) AS f_dup3,
+                     CAST(64 * n_stop < 2 * n AS BIGINT) AS f_stop
+              FROM s
+            )
+            SELECT doc_id, f_short, f_long, f_wordlen, f_dup3, f_stop,
+                   CAST(f_short + f_long + f_wordlen + f_dup3 + f_stop = 0 AS BIGINT) AS keep
+            FROM f
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

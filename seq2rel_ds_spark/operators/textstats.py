@@ -212,3 +212,76 @@ def with_redaction(docs: DataFrame, text_col: str = "text", rules=None) -> DataF
         n = n + F.size(F.split(out, pat)) - 1
         out = F.regexp_replace(out, pat, repl)
     return docs.withColumn("redacted", out).withColumn("n_redactions", n)
+
+
+def with_filter_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    avg_len_lo_x10: int = 20,
+    avg_len_hi_x10: int = 120,
+    dup3_pct_max: int = 25,
+    stop_per_64_min: int = 4,
+) -> DataFrame:
+    """C4/Gopher-style composite quality FILTER verdict: one 0/1 flag per
+    rule plus the final ``keep``.  Thresholds are integers by design —
+    every rule is evaluated in pure int64 arithmetic (counts and
+    cross-multiplied ratio comparisons, never a float), so the verdicts
+    are bit-identical in any engine and the DuckDB oracle restates them
+    exactly.
+
+    Rules (a set flag means the document FAILS that rule):
+      f_short    n_tokens < min_tokens
+      f_long     n_tokens > max_tokens
+      f_wordlen  mean word length outside [avg_len_lo_x10, avg_len_hi_x10]/10
+                 (compared as 10*sum_len <=> threshold * n_tokens)
+      f_dup3     duplicate-trigram fraction > dup3_pct_max/100
+                 (compared as 100*(n_tri - n_distinct_tri) > pct * n_tri)
+      f_stop     stopword fraction < stop_per_64_min/64
+                 (compared as 64*n_stop < min * n_tokens)
+      keep       no flag set
+
+    Scale shape: per-row Catalyst expressions only — no shuffle, no UDF;
+    the filter runs inside the scan stage's codegen like the rest of this
+    module.  Downstream drops rows with ``keep = 0`` (the common case
+    keeps the corpus streaming with zero exchange).
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    k = F.size(toks) - F.lit(2)
+    tris = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tris).cast("long")
+    n_tri_d = F.size(F.array_distinct(tris)).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast(
+        "long"
+    )
+    f_short = (n < min_tokens).cast("int")
+    f_long = (n > max_tokens).cast("int")
+    f_wordlen = (
+        (10 * sum_len < avg_len_lo_x10 * n) | (10 * sum_len > avg_len_hi_x10 * n)
+    ).cast("int")
+    f_dup3 = ((n_tri > 0) & (100 * (n_tri - n_tri_d) > dup3_pct_max * n_tri)).cast("int")
+    f_stop = (64 * n_stop < stop_per_64_min * n).cast("int")
+    return (
+        docs.withColumn("f_short", f_short)
+        .withColumn("f_long", f_long)
+        .withColumn("f_wordlen", f_wordlen)
+        .withColumn("f_dup3", f_dup3)
+        .withColumn("f_stop", f_stop)
+        .withColumn(
+            "keep",
+            (
+                (F.col("f_short") + F.col("f_long") + F.col("f_wordlen")
+                 + F.col("f_dup3") + F.col("f_stop")) == 0
+            ).cast("int"),
+        )
+    )

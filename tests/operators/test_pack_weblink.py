@@ -1,0 +1,153 @@
+"""Tests: sequence packing (operators/pack.py), host link graph
+(operators/weblink.py) and the composite quality filter
+(operators/textstats.py::with_filter_flags)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestPackAssign:
+    def test_offsets_within_one_bucket(self, spark):
+        from seq2rel_ds_spark.operators.pack import pack_assign
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (10 * (i + 1)))) for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = pack_assign(docs, ctx=16, n_buckets=1).orderBy("start_off").collect()
+        # one bucket -> offsets are a permutation-ordered exact prefix sum
+        assert out[0]["start_off"] == 0
+        for prev, cur in zip(out, out[1:]):
+            assert cur["start_off"] == prev["start_off"] + prev["n_tokens"]
+        total = out[-1]["start_off"] + out[-1]["n_tokens"]
+        assert total == sum(10 * (i + 1) for i in range(6))
+        for r in out:
+            assert r["pack_idx"] == r["start_off"] // 16
+            assert r["pack_off"] == r["start_off"] % 16
+
+    def test_bucket_independence_and_determinism(self, spark):
+        from seq2rel_ds_spark.operators.pack import pack_assign
+
+        docs = spark.createDataFrame(
+            [(i, "a b c d e") for i in range(40)], "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r for r in pack_assign(docs, ctx=8, n_buckets=4).collect()}
+        b = {
+            r["doc_id"]: r
+            for r in pack_assign(docs.repartition(7), ctx=8, n_buckets=4).collect()
+        }
+        # identical assignment regardless of input partitioning
+        for i in range(40):
+            assert (a[i]["bucket"], a[i]["start_off"]) == (b[i]["bucket"], b[i]["start_off"])
+        # every bucket's offsets start at 0 (bucket-local concatenation)
+        per_bucket_min = {}
+        for r in a.values():
+            per_bucket_min[r["bucket"]] = min(
+                per_bucket_min.get(r["bucket"], 1 << 60), r["start_off"]
+            )
+        assert set(per_bucket_min.values()) == {0}
+
+    def test_rejects_bad_params(self, spark):
+        from seq2rel_ds_spark.operators.pack import pack_assign
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pack_assign(docs, ctx=0)
+        with pytest.raises(ValueError):
+            pack_assign(docs, n_buckets=0)
+
+
+class TestHostLinks:
+    def _pages(self, spark):
+        rows = [
+            (
+                "https://A.example.com/page1",
+                b'<html><a href="https://b.example.com/x">1</a>'
+                b'<a href="https://b.example.com/y">2</a>'
+                b'<a href="/relative">skip</a>'
+                b'<a href="mailto:x@y.z">skip</a>'
+                b'<a href="http://c.example.com/">3</a></html>',
+            ),
+            (
+                "http://b.example.com/p",
+                b'<a href="https://B.example.com/self">self</a>no links otherwise',
+            ),
+            ("not-a-url", b'<a href="https://d.example.com/">orphan</a>'),
+        ]
+        return spark.createDataFrame(rows, "url string, html binary")
+
+    def test_edges(self, spark):
+        from seq2rel_ds_spark.operators.weblink import host_links
+
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_links(self._pages(spark)).collect()
+        }
+        # multiplicity counted; hosts lowercased; relative/mailto dropped;
+        # the src with no parseable host contributes nothing
+        assert got == {
+            ("a.example.com", "b.example.com"): 2,
+            ("a.example.com", "c.example.com"): 1,
+            ("b.example.com", "b.example.com"): 1,
+        }
+
+    def test_out_degree(self, spark):
+        from seq2rel_ds_spark.operators.weblink import host_links, host_out_degree
+
+        deg = {
+            r["host"]: (r["n_dst_hosts"], r["n_links_out"])
+            for r in host_out_degree(host_links(self._pages(spark))).collect()
+        }
+        assert deg["a.example.com"] == (2, 3)
+        assert deg["b.example.com"] == (1, 1)
+
+
+class TestFilterFlags:
+    def test_rules(self, spark):
+        from seq2rel_ds_spark.operators.textstats import with_filter_flags
+
+        # 20 tokens, stopword-rich, every trigram distinct (each contains a
+        # unique content word), avg token length ~3.5
+        long_clean = (
+            "the alpha of beta and gamma to delta in epsilon "
+            "a zeta the eta of theta and iota to kappa"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "too short"),
+                (2, long_clean),
+                (3, " ".join(["spam spam spam"] * 15)),  # dup trigrams, no stopwords
+                (4, " ".join(["supercalifragilistic"] * 30)),  # avg len 20 > 8.0
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in with_filter_flags(
+                docs,
+                min_tokens=15,
+                max_tokens=400,
+                avg_len_lo_x10=20,
+                avg_len_hi_x10=80,
+                dup3_pct_max=10,
+                stop_per_64_min=2,
+            ).collect()
+        }
+        assert out[1]["f_short"] == 1 and out[1]["keep"] == 0
+        assert out[2]["keep"] == 1, dict(out[2].asDict())
+        assert out[3]["f_dup3"] == 1 and out[3]["f_stop"] == 1 and out[3]["keep"] == 0
+        assert out[4]["f_wordlen"] == 1 and out[4]["keep"] == 0
+
+    def test_integer_threshold_edges(self, spark):
+        from seq2rel_ds_spark.operators.textstats import with_filter_flags
+
+        # exactly min_tokens -> not short; one under -> short
+        docs = spark.createDataFrame(
+            [(1, " ".join(["the"] * 5)), (2, " ".join(["the"] * 4))],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["f_short"]
+            for r in with_filter_flags(docs, min_tokens=5).collect()
+        }
+        assert out == {1: 0, 2: 1}
