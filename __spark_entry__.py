@@ -588,6 +588,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate fraction (operators/boilerplate.py):
+    bigram shingles in >= 30 distinct docs form the boilerplate
+    dictionary; every doc reports how much of its shingle vocabulary is
+    boilerplate.  On the sf0.01 corpus fractions span 0.10-0.83 (median
+    0.475), so any df-count / join / rounding drift breaks values."""
+    from seq2rel_ds_spark.operators.boilerplate import with_boilerplate_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_boilerplate_frac(docs, n=2, min_docs=30)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2308,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "host_links": q_host_links,
         "quality_filter": q_quality_filter,
+        "doc_boilerplate": q_doc_boilerplate,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -3690,6 +3703,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f_short, f_long, f_wordlen, f_dup3, f_stop,
                    CAST(f_short + f_long + f_wordlen + f_dup3 + f_stop = 0 AS BIGINT) AS keep
             FROM f
+        """,
+        # same shingle normalization as ngram_jaccard; df over per-doc
+        # DISTINCT shingles, dictionary = df >= 30, left join keeps zeros
+        "doc_boilerplate": r"""
+            WITH sh AS (
+              SELECT doc_id AS id, unnest(
+                CASE WHEN len(toks) >= 2
+                     THEN list_distinct(list_transform(range(1, len(toks)),
+                                                       i -> array_to_string(toks[i:i+1], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS shingle
+              FROM (SELECT doc_id,
+                           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            ),
+            boiler AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 30),
+            sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+            hits AS (SELECT id, count(*) AS n_boiler
+                     FROM sh JOIN boiler USING (shingle) GROUP BY id)
+            SELECT s.id AS doc_id,
+                   CAST(s.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+                   round(coalesce(h.n_boiler, 0) * 1.0 / greatest(s.n_shingles, 1), 4)
+                     AS boiler_frac
+            FROM sizes s LEFT JOIN hits h ON h.id = s.id
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

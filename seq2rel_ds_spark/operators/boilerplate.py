@@ -1,0 +1,100 @@
+"""Cross-document boilerplate detection: word n-gram spans repeated across
+many documents (nav bars, cookie banners, site footers) and the per-document
+fraction of such spans.
+
+Training-data-pipeline extension (SURVEY.md §2.10) — the CCNet/RefinedWeb
+hygiene step the reference has no counterpart for: template text repeated
+across a site dominates naive token counts and poisons dedup similarity;
+pipelines measure each page's boilerplate fraction and drop or strip the
+worst.  Complements operators/dedup.py (which finds near-duplicate PAIRS;
+this finds corpus-wide repeated SPANS regardless of pairing) and the
+``max_shingle_df`` stop-shingle knob (same signal, used there only to cap
+candidate generation).
+
+Scale shape:
+  * shingles travel as md5 hashes (32 bytes regardless of n); per-doc
+    shingle sets are distinct (dedup.shingles_col), so document frequency
+    is a plain ``count(*)`` per hash — partial aggregation collapses each
+    map task's rows before the exchange, no count-distinct state.
+  * the boilerplate dictionary (df >= min_docs) is the df-thresholded
+    minority of shingles; the per-doc hit count is a hash equi-join
+    against it followed by a partial-aggregated groupBy(doc) — both
+    shuffle bounded-width rows, never text.
+  * output is one row per document (the per-doc signal downstream filters
+    on), produced by a left join on the unique doc id; at 100 TB this is
+    the standard corpus-sized exchange every per-doc annotation pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seq2rel_ds_spark.operators.dedup import shingles_col
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(h, df): md5 hashes of word n-gram shingles appearing in at least
+    ``min_docs`` distinct documents, with their document frequency."""
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.md5("shingle").alias("h"))
+    # shingle sets are per-doc distinct -> count(*) IS the doc frequency,
+    # and map-side combine applies (no count-distinct state)
+    return (
+        doc_sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+    )
+
+
+def with_boilerplate_frac(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_frac) for EVERY document:
+    how much of the doc's distinct n-gram vocabulary is corpus-wide
+    boilerplate.  ``boiler_frac`` is rounded to 4dp (oracle stability)."""
+    boiler = boilerplate_shingles(
+        docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col
+    ).select("h")
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    ).select("id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    ).select("id", "n_shingles", F.md5("shingle").alias("h"))
+    hits = (
+        doc_sh.join(boiler, "h")
+        # n_shingles is functionally dependent on id — grouping by both
+        # keeps it without a second join (same trick as decontaminate.py)
+        .groupBy("id", "n_shingles")
+        .agg(F.count("*").alias("n_boiler"))
+        .select("id", "n_boiler")
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(shingles_col(F.col(text_col), n)).alias("n_shingles"),
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )

@@ -151,3 +151,36 @@ class TestFilterFlags:
             for r in with_filter_flags(docs, min_tokens=5).collect()
         }
         assert out == {1: 0, 2: 1}
+
+
+class TestBoilerplate:
+    def test_dictionary_and_fractions(self, spark):
+        from seq2rel_ds_spark.operators.boilerplate import (
+            boilerplate_shingles,
+            with_boilerplate_frac,
+        )
+
+        footer = "subscribe to our newsletter"
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma " + footer),
+                (2, "delta epsilon zeta " + footer),
+                (3, "eta theta iota " + footer),
+                (4, "kappa lambdaword muon unique tail words"),
+            ],
+            "doc_id long, text string",
+        )
+        # footer trigrams appear in 3 docs; content trigrams in 1
+        dic = boilerplate_shingles(docs, n=3, min_docs=3).collect()
+        assert all(r["df"] == 3 for r in dic)
+        # "subscribe to our", "to our newsletter" plus the two bridge
+        # trigrams differ per doc -> exactly 2 shared trigrams
+        assert len(dic) == 2
+
+        frac = {
+            r["doc_id"]: (r["n_boiler"], r["n_shingles"], r["boiler_frac"])
+            for r in with_boilerplate_frac(docs, n=3, min_docs=3).collect()
+        }
+        # doc 1: 7 tokens -> 5 trigrams, 2 boilerplate
+        assert frac[1] == (2, 5, 0.4)
+        assert frac[4] == (0, 4, 0.0)  # zero-hit doc still present
