@@ -600,6 +600,88 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_boilerplate_frac(docs, n=2, min_docs=30)
 
 
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL synthesis for the url gates: four variants
+    per doc_id exercising fragments, tracking params, case-varied
+    scheme/host, default ports and the empty path."""
+    docs = _t(spark, sf_dir, "documents")
+    g = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+    did = F.col("doc_id").cast("string")
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("http://host"), g, F.lit(".example.com:80/p"), g,
+                F.lit("?utm_source=feed&q="), g, F.lit("#frag"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://HOST"), g, F.lit(".EXAMPLE.COM:443/p"), g,
+                F.lit("?q="), g,
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://host"), g, F.lit(".example.com/p"), g,
+                F.lit("?q="), g, F.lit("&gclid=t"), did,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://host"), g, F.lit(".example.com?utm_medium=a&q="),
+                g, F.lit("&utm_campaign=b#x"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization audit (operators/url.py::canonical_url): the
+    oracle states every expected canonical form in closed form from the
+    synthesis arithmetic, so each rule (fragment, tracking params, case,
+    default port, empty path) is checked end-to-end."""
+    from seq2rel_ds_spark.operators.url import with_canonical_url
+
+    return with_canonical_url(_messy_urls(spark, sf_dir)).select("doc_id", "url_canon")
+
+
+def q_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-crawl-wins snapshot dedup (operators/url.py::crawl_dedup):
+    variants 0/2 of the messy-URL synthesis canonicalize identically
+    (~10 fetches per canonical URL), warc_ts increases with doc_id, so
+    the winner per canonical URL is closed-form max(doc_id)."""
+    from seq2rel_ds_spark.operators.url import crawl_dedup
+
+    pages = _messy_urls(spark, sf_dir).filter(F.pmod("doc_id", F.lit(2)) == 0)
+    pages = pages.withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")),
+    )
+    return crawl_dedup(pages).select("url_canon", "doc_id")
+
+
+def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (operators/mixing.py): 700-token quota
+    per source under the deterministic md5 stream order; the oracle
+    restates the identical window.  On sf0.01 every source holds 1.1-1.6k
+    tokens, so roughly half of each group is kept."""
+    from seq2rel_ds_spark.operators.mixing import cap_tokens_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_tokens_per_group(docs, "source", 700).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2321,6 +2403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_links": q_host_links,
         "quality_filter": q_quality_filter,
         "doc_boilerplate": q_doc_boilerplate,
+        "url_canonical": q_url_canonical,
+        "crawl_dedup": q_crawl_dedup,
+        "source_token_cap": q_source_token_cap,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -3727,6 +3812,53 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.n_boiler, 0) * 1.0 / greatest(s.n_shingles, 1), 4)
                      AS boiler_frac
             FROM sizes s LEFT JOIN hits h ON h.id = s.id
+        """,
+        # closed-form expected canonical per synthesis variant: fragment and
+        # tracking params gone, scheme/host lowered, default port gone,
+        # empty path -> '/'
+        "url_canonical": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 1 THEN 'https://host' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '?q=' || CAST(doc_id % 50 AS VARCHAR)
+                     WHEN 3 THEN 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example.com/?q=' || CAST(doc_id % 50 AS VARCHAR)
+                     ELSE 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+                          || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+                          || '?q=' || CAST(doc_id % 50 AS VARCHAR)
+                   END AS url_canon
+            FROM documents
+        """,
+        # winner per canonical URL = max doc_id among the even-doc_id
+        # fetches of the group (warc_ts increases with doc_id)
+        "crawl_dedup": """
+            SELECT 'http://host' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+                   || '?q=' || CAST(doc_id % 50 AS VARCHAR) AS url_canon,
+                   max(doc_id) AS doc_id
+            FROM documents
+            WHERE doc_id % 2 = 0
+            GROUP BY doc_id % 50
+        """,
+        # identical running-sum window: PARTITION BY source ORDER BY
+        # md5('cap:' || doc_id), kept while cum <= 700
+        "source_token_cap": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     md5('cap:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+                     CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY sort_key
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens,
+                   CAST(CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY sort_key
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) <= 700 AS BIGINT) AS kept
+            FROM t
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
