@@ -682,6 +682,32 @@ def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (operators/linededup.py): docs are
+    synthesized with a header line shared by ALL docs and a footer shared
+    per doc_id%10 group, so exactly one doc owns each; the oracle
+    re-elects owners with the identical (md5 key, pos) order and
+    reassembles, comparing md5 of the cleaned text."""
+    from seq2rel_ds_spark.operators.linededup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    docs2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"),
+            F.col("text"),
+            F.lit("\nfooter for group "),
+            F.pmod("doc_id", F.lit(10)).cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(docs2).select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2406,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "crawl_dedup": q_crawl_dedup,
         "source_token_cap": q_source_token_cap,
+        "line_dedup": q_line_dedup,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -3859,6 +3886,47 @@ def oracle_sql() -> dict[str, str]:
                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                              AS BIGINT) <= 700 AS BIGINT) AS kept
             FROM t
+        """,
+        # identical owner election: rank occurrences of each line hash by
+        # (md5('line:'||doc_id), pos), keep rank 1 (exempt: empty lines);
+        # reassemble with ORDER BY pos and compare md5
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     md5('line:' || CAST(doc_id AS VARCHAR)) AS dk,
+                     string_split('shared header line' || chr(10) || text || chr(10)
+                                  || 'footer for group ' || CAST(doc_id % 10 AS VARCHAR),
+                                  chr(10)) AS ls
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, dk, s.pos AS pos, s.line AS line
+              FROM (SELECT doc_id, dk,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                                                 i -> {'pos': i - 1, 'line': ls[i]})) AS s
+                    FROM d)
+            ),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY md5(line) ORDER BY dk, pos) AS rn
+              FROM l WHERE length(line) >= 1
+            ),
+            kept AS (
+              SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, line FROM l WHERE length(line) < 1
+            ),
+            agg AS (
+              SELECT doc_id,
+                     md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(agg.clean_md5, md5('')) AS clean_md5,
+                   CAST(len(d.ls) AS BIGINT) AS n_lines,
+                   CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+            FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

@@ -109,3 +109,47 @@ class TestCapTokensPerGroup:
 
         with pytest.raises(ValueError):
             cap_tokens_per_group(self._docs(spark), "source", -1)
+
+
+class TestLineDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from seq2rel_ds_spark.operators.linededup import line_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "unique one\nshared footer\n\nunique two"),
+                (2, "shared footer\nunique three\nshared footer"),
+                (3, "shared footer"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        # exactly ONE doc keeps 'shared footer' (md5-order owner), and the
+        # intra-doc repeat in doc 2 is also collapsed
+        n_footers = sum(r["text_clean"].count("shared footer") for r in out.values())
+        assert n_footers == 1
+        # empty line is exempt -> doc 1 keeps its blank separator
+        assert "\n\n" in out[1]["text_clean"] or out[1]["text_clean"].endswith("\n")
+        # line counts: originals 4/3/1
+        assert (out[1]["n_lines"], out[2]["n_lines"], out[3]["n_lines"]) == (4, 3, 1)
+        # uniques always survive
+        assert "unique one" in out[1]["text_clean"]
+        assert "unique three" in out[2]["text_clean"]
+        # a doc that loses everything reassembles to '' with n_kept 0
+        losers = [r for r in out.values() if r["n_kept"] == 0]
+        assert all(r["text_clean"] == "" for r in losers)
+        # conservation: kept line totals = distinct lines + exempt blanks
+        assert sum(r["n_kept"] for r in out.values()) == 5  # 4 distinct + 1 blank
+
+    def test_partitioning_invariance(self, spark):
+        from seq2rel_ds_spark.operators.linededup import line_dedup
+
+        docs = spark.createDataFrame(
+            [(i, "common line\nrow " + str(i % 7)) for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["text_clean"] for r in line_dedup(docs).collect()}
+        b = {r["doc_id"]: r["text_clean"] for r in line_dedup(docs.repartition(11)).collect()}
+        assert a == b
+        assert sum(t.count("common line") for t in a.values()) == 1
+        assert sum(t.count("row 3") for t in a.values()) == 1
