@@ -708,6 +708,50 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-prioritization composition: the host link graph
+    (operators/weblink.py over the closed-form page synthesis) feeds the
+    same undirected-doubled PageRank dataflow as kg_pagerank, 2 unrolled
+    rounds, damping 0.85, 6-dp rounding.  The oracle rebuilds the edges
+    from the synthesis arithmetic and recomputes both rounds as CTEs.
+    The 1-row node-count broadcast attaches via crossJoin — the same
+    sweep-allowlisted O(rows) scalar pattern as kg_pagerank."""
+    edges = (
+        q_host_links(spark, sf_dir).select("src_host", "dst_host").distinct()
+    )
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+                F.struct(F.col("dst_host").alias("src"), F.col("src_host").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(2):
+        contrib = (
+            und.join(deg, "src")
+            .join(ranks, und["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("host_rank"))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2433,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_dedup": q_crawl_dedup,
         "source_token_cap": q_source_token_cap,
         "line_dedup": q_line_dedup,
+        "host_rank": q_host_rank,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -3927,6 +3972,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.ls) AS BIGINT) AS n_lines,
                    CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
             FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        """,
+        # edges rebuilt from the messy-page synthesis arithmetic, then the
+        # identical 2 unrolled PageRank rounds (same float op order)
+        "host_rank": """
+            WITH l AS (
+              SELECT DISTINCT
+                     'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS src_host,
+                     'h' || CAST((doc_id * 7 + k) % 11 AS VARCHAR) || '.example.com' AS dst_host
+              FROM documents CROSS JOIN range(0, 3) t(k)
+              WHERE k <= doc_id % 3
+            ),
+            und AS (
+              SELECT src_host AS src, dst_host AS dst FROM l
+              UNION ALL
+              SELECT dst_host AS src, src_host AS dst FROM l
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+            nn AS (SELECT count(*) AS n_nodes FROM deg),
+            r0 AS (
+              SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM nn) AS rank
+              FROM deg
+            ),
+            r1 AS (
+              SELECT u.dst AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n_nodes FROM nn)
+                       + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+              FROM und u JOIN deg d ON u.src = d.src JOIN r0 r ON u.src = r.node
+              GROUP BY u.dst
+            ),
+            r2 AS (
+              SELECT u.dst AS node,
+                     CAST(0.15 AS DOUBLE) / (SELECT n_nodes FROM nn)
+                       + CAST(0.85 AS DOUBLE) * sum(r.rank / d.deg) AS rank
+              FROM und u JOIN deg d ON u.src = d.src JOIN r1 r ON u.src = r.node
+              GROUP BY u.dst
+            )
+            SELECT node, ROUND(rank, 6) AS host_rank FROM r2
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

@@ -152,8 +152,9 @@ class TestRelationalPlans:
         shapes.  Documented exceptions, each bounded by construction:
         ann_topk's query side is 10 vectors (the exact brute-force
         baseline — the general shape is lsh_topk, which this test does
-        cover); kg_pagerank, tfidf_top_terms, kg_negative_samples and
-        kg_label_propagation attach a 1-ROW broadcast scalar aggregate
+        cover); kg_pagerank, host_rank, tfidf_top_terms,
+        kg_negative_samples and kg_label_propagation attach a 1-ROW
+        broadcast scalar aggregate
         (node/corpus/entity count or avg-weight threshold) via crossJoin —
         a BNLJ whose inner side is a single row is O(rows), shuffle-free
         at any scale (and a constant-key equi-join folds to the same
@@ -163,6 +164,7 @@ class TestRelationalPlans:
         allowed_bnlj = {
             "ann_topk",
             "kg_pagerank",
+            "host_rank",
             "tfidf_top_terms",
             "kg_negative_samples",
             "kg_label_propagation",
