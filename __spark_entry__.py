@@ -752,6 +752,53 @@ def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("host_rank"))
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text table (operators/weblink.py::anchor_texts): pages carry
+    (doc_id%3)+1 anchors with Case-Varied visible text plus a relative
+    anchor and an empty-text anchor that must both be dropped; the oracle
+    states the surviving (src, dst, lowercased anchor) counts in closed
+    form."""
+    from seq2rel_ds_spark.operators.weblink import anchor_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dst_n = lambda k: F.pmod(did * 7 + k, F.lit(11)).cast("string")  # noqa: E731
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.pmod(did, F.lit(3))),
+            lambda k: F.concat(
+                F.lit('<a href="https://h'), dst_n(k),
+                F.lit(".example.com/p"), k.cast("string"),
+                F.lit('" class="nav">Visit H'), dst_n(k), F.lit(" Page</a>"),
+            ),
+        ),
+        "\n",
+    )
+    html_s = F.concat(
+        F.lit('<html><body><a href="/rel">Local</a>'),
+        anchors,
+        F.lit('<a href="https://hz.example.com/"></a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), F.pmod(did, F.lit(5)).cast("string"),
+            F.lit(".example.com/d"), did.cast("string"),
+        ).alias("url"),
+        F.encode(html_s, "utf-8").alias("html"),
+    )
+    return anchor_texts(pages)
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer corpus-rarity score (textstats.py::with_rarity_score): each
+    token occurrence contributes scale DIV df(token); pure int64, so the
+    oracle reproduces every value exactly with the same division."""
+    from seq2rel_ds_spark.operators.textstats import with_rarity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_rarity_score(docs)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2478,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_cap": q_source_token_cap,
         "line_dedup": q_line_dedup,
         "host_rank": q_host_rank,
+        "anchor_texts": q_anchor_texts,
+        "doc_rarity": q_doc_rarity,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -4009,6 +4058,35 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY u.dst
             )
             SELECT node, ROUND(rank, 6) AS host_rank FROM r2
+        """,
+        # closed-form surviving anchors: the relative and empty-text anchors
+        # never appear; visible text lowercased
+        "anchor_texts": """
+            SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS src_host,
+                   'h' || CAST((doc_id * 7 + k) % 11 AS VARCHAR) || '.example.com' AS dst_host,
+                   'visit h' || CAST((doc_id * 7 + k) % 11 AS VARCHAR) || ' page' AS anchor,
+                   count(*) AS n
+            FROM documents CROSS JOIN range(0, 3) t(k)
+            WHERE k <= doc_id % 3
+            GROUP BY 1, 2, 3
+        """,
+        # same tokenization, df over distinct (doc, token), integer division
+        "doc_rarity": r"""
+            WITH occ AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                       AS tok
+              FROM documents
+            ),
+            dfreq AS (
+              SELECT tok, count(DISTINCT id) AS df FROM occ GROUP BY tok
+            )
+            SELECT o.id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(1000000 // d.df) AS BIGINT) AS rarity_sum,
+                   CAST(sum(1000000 // d.df) // count(*) AS BIGINT) AS rarity_per_token
+            FROM occ o JOIN dfreq d ON d.tok = o.tok
+            GROUP BY o.id
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

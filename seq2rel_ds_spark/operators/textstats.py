@@ -285,3 +285,52 @@ def with_filter_flags(
             ).cast("int"),
         )
     )
+
+
+def with_rarity_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, n_tokens, rarity_sum, rarity_per_token): an integer
+    corpus-rarity score — the perplexity-proxy quality signal (CCNet
+    scores docs with a reference LM; at hygiene level what matters is
+    "how unusual are this doc's tokens vs the corpus"), computed with NO
+    floating point: each token occurrence contributes
+    ``scale DIV df(token)`` where df is the token's corpus document
+    frequency.  Common tokens contribute ~0, hapaxes contribute
+    ``scale``; a high per-token score marks gibberish/rare-vocab pages,
+    a very low one boilerplate.  Pure int64 -> bit-identical in any
+    engine.
+
+    Scale shape: the df dictionary is vocab-sized (power-law: far smaller
+    than the corpus) built by one distinct + partial-agg count; tokens
+    travel as md5 hashes, never text, and the per-occurrence join is an
+    equi-join on the hash — hot tokens ('the') fan out across partitions
+    by doc, and the build side is 1 row per key, so the join cannot skew.
+    The final per-doc sum partial-aggregates.
+    """
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("id", F.md5("tok").alias("h"))
+    df_tbl = (
+        occ.distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        occ.join(df_tbl, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr(f"{int(scale)} DIV df")).alias("rarity_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("rarity_sum").cast("long").alias("rarity_sum"),
+            F.expr("rarity_sum DIV n_tokens").alias("rarity_per_token"),
+        )
+    )

@@ -73,3 +73,43 @@ def host_out_degree(edges: DataFrame) -> DataFrame:
         F.count("*").alias("n_dst_hosts"),
         F.sum("n_links").alias("n_links_out"),
     )
+
+
+ANCHOR_RE = r'<a href="[^"]+"[^>]*>[^<]*</a>'
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host, anchor, n) — anchor TEXT aggregated per host
+    pair: the classic anchor-text signal (what the web calls a page) that
+    seeds entity-linking dictionaries and link-spam features.
+
+    Same pure-Catalyst shape as host_links: one regex pass extracts whole
+    ``<a>`` tags, a transform splits each into (href, text) — both
+    regexes shared verbatim with the SQL oracle — and the only shuffle is
+    the final partial-aggregated groupBy.  Anchors with relative /
+    non-http(s) hrefs or empty text are dropped; text is trimmed,
+    lowercased and capped at 64 chars (dictionary hygiene)."""
+    html_s = F.decode(F.col(html_col), "utf-8")
+    src = F.lower(F.regexp_extract(F.col(url_col), HOST_RE, 1))
+    tags = pages.select(
+        src.alias("src_host"),
+        F.explode(F.regexp_extract_all(html_s, F.lit(ANCHOR_RE), 0)).alias("tag"),
+    )
+    return (
+        tags.select(
+            "src_host",
+            F.lower(
+                F.regexp_extract(F.regexp_extract("tag", HREF_RE, 1), HOST_RE, 1)
+            ).alias("dst_host"),
+            F.substring(
+                F.trim(F.lower(F.regexp_extract("tag", r">([^<]*)</a>", 1))), 1, 64
+            ).alias("anchor"),
+        )
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != "") & (F.col("anchor") != ""))
+        .groupBy("src_host", "dst_host", "anchor")
+        .agg(F.count("*").alias("n"))
+    )

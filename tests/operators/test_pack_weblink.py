@@ -184,3 +184,51 @@ class TestBoilerplate:
         # doc 1: 7 tokens -> 5 trigrams, 2 boilerplate
         assert frac[1] == (2, 5, 0.4)
         assert frac[4] == (0, 4, 0.0)  # zero-hit doc still present
+
+
+class TestAnchorTexts:
+    def test_extraction_and_hygiene(self, spark):
+        from seq2rel_ds_spark.operators.weblink import anchor_texts
+
+        long_text = "x" * 100
+        rows = [
+            (
+                "https://src.io/p",
+                (
+                    '<a href="https://A.io/1" rel="nofollow">Click  Here</a>'
+                    '<a href="https://a.io/2">click  here</a>'
+                    '<a href="/rel">relative dropped</a>'
+                    '<a href="https://b.io/"></a>'
+                    f'<a href="https://c.io/">{long_text}</a>'
+                ).encode(),
+            ),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        got = {
+            (r["dst_host"], r["anchor"]): r["n"] for r in anchor_texts(df).collect()
+        }
+        # case-folded text aggregates across the two a.io anchors
+        assert got[("a.io", "click  here")] == 2
+        # 64-char cap
+        assert ("c.io", "x" * 64) in got
+        # relative + empty-text dropped
+        assert all(h != "b.io" for h, _ in got)
+        assert len(got) == 2
+
+
+class TestRarityScore:
+    def test_integer_rarity(self, spark):
+        from seq2rel_ds_spark.operators.textstats import with_rarity_score
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common unique1"),
+                (2, "common unique2"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in with_rarity_score(docs, scale=100).collect()}
+        # df: common=2, unique1=1, unique2=1 -> per-occurrence 100//2=50, 100//1=100
+        assert (out[1]["rarity_sum"], out[1]["n_tokens"]) == (50 + 50 + 100, 3)
+        assert out[1]["rarity_per_token"] == 200 // 3
+        assert (out[2]["rarity_sum"], out[2]["rarity_per_token"]) == (150, 75)
