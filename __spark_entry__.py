@@ -799,6 +799,23 @@ def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rarity_score(docs)
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom have-I-seen-it filter (operators/sketch.py::bloom_build/
+    bloom_probe): built over the even-doc_id key set (1024 bits, k=3,
+    ~73% load), probed with every key — members MUST read 1 (no false
+    negatives) and the odd keys produce the deterministic false-positive
+    pattern the oracle reproduces bit-for-bit from the same seeded md5
+    positions."""
+    from seq2rel_ds_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    members = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(key.alias("v"))
+    sketch = bloom_build(members, "v", m_bits=1024, k=3)
+    probes = docs.select(key.alias("v"))
+    return bloom_probe(sketch, probes, "v", m_bits=1024, k=3)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seq2rel_ds_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2527,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "anchor_texts": q_anchor_texts,
         "doc_rarity": q_doc_rarity,
+        "bloom_seen": q_bloom_seen,
         # -- recorded once -----------------------------------------------
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_postings": q_token_postings,
@@ -4087,6 +4105,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(1000000 // d.df) // count(*) AS BIGINT) AS rarity_per_token
             FROM occ o JOIN dfreq d ON d.tok = o.tok
             GROUP BY o.id
+        """,
+        # identical seeded-md5 bit positions (hash32 = first 4 md5 bytes,
+        # % 1024), 32-bit words rebuilt as sums of distinct powers of two
+        "bloom_seen": f"""
+            WITH mem AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS v
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            mpos AS (
+              SELECT CAST(({_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':' || v)", 0)} * 16777216
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':' || v)", 1)} * 65536
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':' || v)", 2)} * 256
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':' || v)", 3)}) % 1024
+                        AS BIGINT) AS pos
+              FROM mem CROSS JOIN range(0, 3) t(j)
+            ),
+            words AS (
+              SELECT word, sum(b) AS bits FROM (
+                SELECT DISTINCT pos // 32 AS word,
+                       CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS b
+                FROM mpos) GROUP BY word
+            ),
+            ppos AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS value,
+                     CAST(({_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':u' || CAST(doc_id AS VARCHAR))", 0)} * 16777216
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':u' || CAST(doc_id AS VARCHAR))", 1)} * 65536
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':u' || CAST(doc_id AS VARCHAR))", 2)} * 256
+                         + {_hexbyte_sql("md5(CAST(j AS VARCHAR) || ':u' || CAST(doc_id AS VARCHAR))", 3)}) % 1024
+                        AS BIGINT) AS pos
+              FROM documents CROSS JOIN range(0, 3) t(j)
+            ),
+            hits AS (
+              SELECT value,
+                     CASE WHEN (coalesce(w.bits, 0)
+                                // (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) % 2 = 1
+                          THEN 1 ELSE 0 END AS hit
+              FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32
+            )
+            SELECT value, CAST(sum(hit) = 3 AS BIGINT) AS maybe_present
+            FROM hits GROUP BY value
         """,
         "minhash_lsh": _MINHASH_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,

@@ -143,3 +143,90 @@ def kmv_distinct(
         .alias("distinct_est"),
         "n_seen",
     )
+
+
+def bloom_build(
+    values: DataFrame, value_col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Bloom membership filter as (word, bits) rows — ``m_bits/32`` 32-bit
+    words, ``k`` seeded md5 hash functions — the crawler's have-I-seen-
+    this-URL structure, as bounded mergeable state.
+
+    Same design contract as the CMS/KMV siblings: DETERMINISTIC (seeded
+    md5 bit positions -> any engine rebuilds the identical words, so the
+    filter sits under the exact DuckDB oracle) and MERGEABLE (two filters
+    OR together; here the bitwise OR is a sum over DISTINCT (word, bit)
+    contributions, which partial-aggregates map-side — the shuffle is
+    O(m_bits), not O(rows)).  32-bit words inside int64 keep every value
+    exactly representable in any engine's signed integer type.
+    """
+    if m_bits < 32 or m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"need k >= 1 hash functions, got {k}")
+    pos = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash32(
+                            F.concat_ws(":", F.lit(str(j)), F.col(value_col).cast("string"))
+                        ),
+                        F.lit(m_bits),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos DIV 32").alias("word"),
+            F.pmod("pos", F.lit(32)).alias("bit"),
+        )
+        .distinct()
+        .groupBy("word")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """(value, maybe_present): 1 iff ALL k bit positions are set — no
+    false negatives, deterministic false positives.  The probe side joins
+    the O(m_bits) sketch on word (broadcastable at any realistic m_bits);
+    the bit test is integer floor-div/mod, portable to any SQL engine."""
+    pos = probes.select(
+        F.col(value_col).alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash32(
+                            F.concat_ws(":", F.lit(str(j)), F.col(value_col).cast("string"))
+                        ),
+                        F.lit(m_bits),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "value",
+        F.expr("pos DIV 32").alias("word"),
+        F.pmod("pos", F.lit(32)).alias("bit"),
+    )
+    hit = (
+        F.expr("(coalesce(bits, 0) DIV shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) % 2")
+    )
+    return (
+        pos.join(F.broadcast(sketch), "word", "left")
+        .select("value", hit.alias("hit"))
+        .groupBy("value")
+        .agg((F.sum("hit") == k).cast("long").alias("maybe_present"))
+    )

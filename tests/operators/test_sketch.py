@@ -131,3 +131,37 @@ class TestCountMinSketch:
         df = spark.createDataFrame([("x",)], "v string")
         with pytest.raises(ValueError, match="depth"):
             cms_table(df, "v", depth=0)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_merge(self, spark):
+        from seq2rel_ds_spark.operators.sketch import bloom_build, bloom_probe
+
+        a = spark.createDataFrame([(f"k{i}",) for i in range(40)], "v string")
+        b = spark.createDataFrame([(f"k{i}",) for i in range(40, 80)], "v string")
+        both = a.union(b)
+        # no false negatives
+        probe = bloom_probe(bloom_build(both, "v", 512, 3), both, "v", 512, 3)
+        assert all(r["maybe_present"] == 1 for r in probe.collect())
+        # merge = bitwise OR of word rows == filter built over the union
+        from pyspark.sql import functions as F
+
+        merged = (
+            bloom_build(a, "v", 512, 3)
+            .union(bloom_build(b, "v", 512, 3))
+            .groupBy("word")
+            .agg(F.expr("CAST(bit_or(bits) AS BIGINT)").alias("bits"))
+        )
+        direct = {r["word"]: r["bits"] for r in bloom_build(both, "v", 512, 3).collect()}
+        assert {r["word"]: r["bits"] for r in merged.collect()} == direct
+
+    def test_rejects_bad_params(self, spark):
+        from seq2rel_ds_spark.operators.sketch import bloom_build
+
+        df = spark.createDataFrame([("x",)], "v string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            bloom_build(df, "v", m_bits=100)  # not a multiple of 32
+        with pytest.raises(ValueError):
+            bloom_build(df, "v", k=0)
