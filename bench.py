@@ -740,22 +740,38 @@ def main() -> None:
     # robust, and runs fine in whatever window follows.
     max_first = os.environ.get("SPARK_GRAFT_PHASE_ORDER", "max_first") == "max_first"
     timings, recall = None, None
-    spark = get_spark(app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus)
+    # optional pre-generated table reuse (campaign protocol): when a
+    # window probe just flagged a quiet window, the ~2 min of generation
+    # is the difference between measuring inside it and missing it.  The
+    # caller owns doc-count consistency (the artifact records n_docs from
+    # the env as always) and the table is NOT cleaned up.
+    pages_env = os.environ.get("SPARK_GRAFT_KG_PAGES_PATH", "")
+    reuse_pages = bool(pages_env) and os.path.isdir(pages_env)
+    spark = None
+    if not (max_first and reuse_pages):
+        spark = get_spark(
+            app_name="bench-queries", cores=cpus, shuffle_partitions=2 * cpus
+        )
     if not max_first:
         timings = run_queries(spark, sf_dir)
         recall = ann_recall(spark, sf_dir)
-    # generate the scaling input once (untimed input preparation)
-    kg_dir = tempfile.mkdtemp(prefix="bench_kg_pages_")
-    pages_path = f"{kg_dir}/pages"
-    # 8 files/core: with one row group per file, file count bounds split
-    # granularity — many short waves absorb stragglers on both legs
-    synthesize_pages(spark, kg_docs, partitions=8 * cpus).write.parquet(pages_path)
-    # small warmup table (untimed, per-leg) so each child JVM warms the
-    # exact timed codepath — including the pyarrow in-worker reader
-    synthesize_pages(spark, max(kg_docs // 40, 2 * cpus * 250), partitions=2 * cpus).write.parquet(
-        pages_path + "_warmup"
-    )
-    spark.stop()
+    if reuse_pages:
+        kg_dir = None
+        pages_path = pages_env
+    else:
+        # generate the scaling input once (untimed input preparation)
+        kg_dir = tempfile.mkdtemp(prefix="bench_kg_pages_")
+        pages_path = f"{kg_dir}/pages"
+        # 8 files/core: with one row group per file, file count bounds split
+        # granularity — many short waves absorb stragglers on both legs
+        synthesize_pages(spark, kg_docs, partitions=8 * cpus).write.parquet(pages_path)
+        # small warmup table (untimed, per-leg) so each child JVM warms the
+        # exact timed codepath — including the pyarrow in-worker reader
+        synthesize_pages(
+            spark, max(kg_docs // 40, 2 * cpus * 250), partitions=2 * cpus
+        ).write.parquet(pages_path + "_warmup")
+    if spark is not None:
+        spark.stop()
     # workload-true ceiling needs the generated bytes, so it runs here —
     # after the JVM is down and a short settle, before the legs.  In
     # max-first mode it is deferred until right after the full-width phase
@@ -985,7 +1001,8 @@ def main() -> None:
             recall = ann_recall(sparkq, sf_dir)
             sparkq.stop()
     finally:
-        shutil.rmtree(kg_dir, ignore_errors=True)
+        if kg_dir is not None:
+            shutil.rmtree(kg_dir, ignore_errors=True)
     # throughput = emitted relation instances per second (distinct canonical
     # triples saturate on synthetic input and would understate throughput)
     thr_lo = lo["n_instances"] / lo["seconds"] if lo["seconds"] else 0.0
