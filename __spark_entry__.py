@@ -1689,15 +1689,44 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence edges: distinct term pairs per doc, aggregated
-    corpus-wide (subj < obj for canonical orientation)."""
-    m = q_kg_mentions(spark, sf_dir).select("doc_id", "term").distinct()
-    a, b = m.alias("a"), m.alias("b")
+    corpus-wide (subj < obj for canonical orientation).
+
+    Shape (r07): the pair set is DOC-LOCAL — the distinct mentioned terms
+    of one document determine its pairs — so pairs are generated inside the
+    row (sorted distinct term array -> ordered pairs) and the only shuffle
+    is the final pair-count aggregation, which partial-aggregates to at
+    most C(|KG_TERMS|, 2) rows per task.  This replaces the previous
+    distinct-shuffle + doc_id self-join (2 scans + 2 exchanges + a
+    broadcast) with 1 scan + 1 dictionary-bounded exchange; row-identical
+    because count(*) over doc-local (a, b) pairs with a < b equals the
+    distinct-mention self-join count.
+
+    Implementation notes (measured, r07):
+      * the term-set column ``ts`` is materialized as its own projection —
+        inlining it into the pair expression would re-evaluate filter+sort
+        per reference (CollapseProject only refuses to inline non-cheap
+        exprs referenced >1 time when it can see the cost);
+      * the doc pass keeps the expensive ``split`` as a once-per-row HOF
+        *argument* against the LITERAL terms array — a lambda-BODY
+        subexpression is re-evaluated per element (an 8x-split variant
+        measured 4x slower);
+      * the tree is built with selectExpr (one parse JVM-side) — the
+        equivalent Column-API build paid ~0.2s of py4j round trips per
+        invocation, comparable to the query's own runtime."""
+    docs = _t(spark, sf_dir, "documents")
+    terms_sql = "array(" + ",".join(f"'{t}'" for t in KG_TERMS) + ")"
+    ts_sql = (
+        f"array_sort(array_distinct(filter(split(text, ' '), "
+        f"t -> array_contains({terms_sql}, t))))"
+    )
+    pairs_sql = (
+        f"flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2, {len(KG_TERMS)}), "
+        "b -> named_struct('subj', a, 'obj', b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")),
-        )
-        .groupBy(F.col("a.term").alias("subj"), F.col("b.term").alias("obj"))
+        docs.selectExpr(f"{ts_sql} AS ts")
+        .selectExpr(f"explode({pairs_sql}) AS p")
+        .groupBy(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
         .agg(F.count("*").alias("n_docs"))
     )
 
@@ -2228,12 +2257,13 @@ def q_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one the bucketed triple layout co-locates at scale).
 
     Orientation doubling happens in one explode pass.  The edge list is NOT
-    persisted: a queries() callable returns a lazy DataFrame with no hook to
-    unpersist after consumption, and a leaked cache block would sit in
-    executor storage for the rest of the session (all 39 gate queries share
-    one SparkSession).  The self-join recomputing the small aggregated
-    upstream twice costs ~0.5s at sf0.1 — cheaper than the leak; a caller
-    that owns the lifecycle can persist/unpersist around it."""
+    persisted (a queries() callable has no unpersist hook and a leaked cache
+    block would outlive the query); the two self-join legs are identical
+    subtrees, so runtime exchange reuse materializes the (now doc-local,
+    r07) co-occurrence aggregation once.  A collect-to-LocalRelation
+    variant was measured SLOWER (the collect barrier + per-invocation
+    build cost exceeded the duplicated-subtree cost that exchange reuse
+    already removes)."""
     co = q_kg_cooccurrence(spark, sf_dir)
     und = co.select(
         F.explode(
@@ -2263,7 +2293,12 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin whose inner side is a single row is O(rows)
     with no shuffle at any scale (sweep-allowlisted beside ann_topk; a
     constant-key equi-join is folded to the same shape by Catalyst
-    anyway).  Iterations are a fixed unrolled 3 here so the oracle can
+    anyway).  The edge list is referenced ~11x by the unrolled loop;
+    runtime exchange reuse dedups those references to ONE materialization
+    of the (doc-local, r07) co-occurrence aggregate — a measured A/B kept
+    this lazy shape over a collect-to-LocalRelation variant, which paid
+    more in collect barrier + build than it saved in planning.
+    Iterations are a fixed unrolled 3 here so the oracle can
     recompute them as unrolled SQL CTEs; the production variant is
     ``operators/graph.py::pagerank`` — the same per-round dataflow with
     localCheckpoint lineage truncation, pinned row-identical to this
