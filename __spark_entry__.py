@@ -107,14 +107,20 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # group on the truncated TIMESTAMP (8 bytes, no per-row string render)
+    # and date_format only the aggregated rows (r07) — bijective under the
+    # fixed UTC session zone, so groups and output strings are unchanged
     return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-        )
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -171,41 +177,49 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users counted at
-    a step only if it happened strictly after their previous step (min-
-    timestamp chaining, two broadcastable user-level joins)."""
+    a step only if it happened strictly after their previous step
+    (min-timestamp chaining).
+
+    Shape (r07): the three chained step-minima are whole-partition window
+    aggregates over ONE hash partitioning on user_id — the events table is
+    shuffled once and the three Window operators plus the per-user collapse
+    reuse that partitioning; previously each step re-aggregated and
+    re-joined the events table (3 user_id exchanges + 2 joins).  Step
+    semantics are unchanged: every row of a user sees the same partition
+    min, so min(when(step & ts > prev)) per partition equals the old
+    aggregate-then-join chaining row for row."""
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    tv = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    w = Window.partitionBy("user_id")
+    stage = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
     )
-    tc = (
-        ev.join(tv, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.first("t_view").alias("t_view"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_click"),
-        )
+    stage = stage.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    tp = (
-        ev.join(tc, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.first("t_view").alias("t_view"),
-            F.first("t_click").alias("t_click"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase"),
-        )
+    stage = stage.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    return tp.select(
+    per_user = stage.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.select(
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click_after_view"),
         F.count("t_purchase").alias("n_purchase_after_click"),
@@ -214,12 +228,24 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users active k days after their first-seen day
-    (distinct active days joined to the cohort day, offsets 0-7)."""
+    (distinct active days joined to the cohort day, offsets 0-7).
+
+    Shape (r07): one groupBy(user_id) collects the per-user DISTINCT day
+    set (collect_set partial-aggregates map-side; bounded by calendar days
+    per user), the cohort day is array_min of that set, and the day set is
+    exploded back to (cohort, offset) — replacing the previous
+    distinct-shuffle + min-shuffle + user_id join (3 exchanges) with one
+    user_id exchange plus the tiny cohort aggregation.  Row-identical:
+    explode(collect_set) enumerates exactly the distinct (user, day) pairs
+    and min(set) is the user's first day."""
     ev = _t(spark, sf_dir, "events")
-    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
-    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
     return (
-        active.join(first_day, "user_id")
+        per_user.select(
+            F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+        )
         .withColumn("day_offset", F.datediff("day", "cohort_day"))
         .filter(F.col("day_offset") <= 7)
         .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), "day_offset")
@@ -2514,7 +2540,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # df side (r07): df(token) = number of documents containing it, which is
+    # doc-local — explode each doc's DISTINCT token set and count.  The
+    # previous form derived df from a second evaluation of the tf aggregate
+    # (another full explode + a (doc_id, token)-wide exchange); this one
+    # partial-aggregates straight to vocabulary size.  Row-identical: one
+    # exploded row per (doc, distinct token) = one tf row per (doc, token).
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
     nn = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
