@@ -27,23 +27,28 @@ STOPWORDS = LANG_PROFILES["en"]
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens of the normalized text."""
-    return F.split(F.regexp_replace(F.trim(text), r"\s+", " "), " ")
+    """Whitespace tokens of the normalized text.
+
+    One regex pass (r07): splitting the trimmed text on ``\\s+`` directly
+    yields exactly the tokens of replace-whitespace-runs-then-split-on-
+    space (runs collapse either way; trim removes boundary runs; the
+    empty string maps to [''] in both forms) without materializing the
+    normalized copy of every document."""
+    return F.split(F.trim(text), r"\s+")
 
 
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens, n_distinct_tokens, avg_token_len (rounded, 4dp)."""
     toks = tokens_col(F.col(text_col))
+    # sum of token lengths == length of the concatenation (r07): one
+    # codegen'd array_join+length instead of an interpreted aggregate fold
+    sum_len = F.length(F.array_join(toks, "")).cast("long")
     return (
         docs.withColumn("n_tokens", F.size(toks))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
         .withColumn(
             "avg_token_len",
-            F.round(
-                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-                / F.greatest(F.size(toks), F.lit(1)),
-                4,
-            ),
+            F.round(sum_len / F.greatest(F.size(toks), F.lit(1)), 4),
         )
     )
 
@@ -177,11 +182,14 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def token_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide token frequencies (two-phase: map-side partial aggregation
     happens automatically for the count aggregate after explode)."""
-    toks = tokens_col(F.col(text_col))
+    # lower the document once before splitting (r07) — lowercasing commutes
+    # with whitespace splitting, so the grouped token set and counts are
+    # unchanged while the per-token lower() calls disappear
+    toks = tokens_col(F.lower(F.col(text_col)))
     return (
         docs.select(F.explode(toks).alias("token"))
         .filter(F.col("token") != "")
-        .groupBy(F.lower(F.col("token")).alias("token"))
+        .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
 
@@ -209,7 +217,9 @@ def with_redaction(docs: DataFrame, text_col: str = "text", rules=None) -> DataF
     out = F.col(text_col)
     n = F.lit(0)
     for _, pat, repl in rules:
-        n = n + F.size(F.split(out, pat)) - 1
+        # regexp_count == size(split)-1 (non-overlapping matches) without
+        # materializing the split array per rule (r07)
+        n = n + F.regexp_count(out, F.lit(pat))
         out = F.regexp_replace(out, pat, repl)
     return docs.withColumn("redacted", out).withColumn("n_redactions", n)
 
@@ -249,7 +259,8 @@ def with_filter_flags(
     """
     toks = tokens_col(F.col(text_col))
     n = F.size(toks).cast("long")
-    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    # same array_join trick as with_token_stats: codegen, no HOF fold
+    sum_len = F.length(F.array_join(toks, "")).cast("long")
     k = F.size(toks) - F.lit(2)
     tris = F.when(
         k > 0,
