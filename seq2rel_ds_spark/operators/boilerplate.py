@@ -64,35 +64,34 @@ def with_boilerplate_frac(
 ) -> DataFrame:
     """(doc_id, n_shingles, n_boiler, boiler_frac) for EVERY document:
     how much of the doc's distinct n-gram vocabulary is corpus-wide
-    boilerplate.  ``boiler_frac`` is rounded to 4dp (oracle stability)."""
+    boilerplate.  ``boiler_frac`` is rounded to 4dp (oracle stability).
+
+    Shape (r07, closes ADVICE r6): ONE pass over the corpus shingles — a
+    LEFT join of the exploded per-doc shingle hashes against the marked
+    boilerplate dictionary, collapsed by one partial-aggregated
+    groupBy(doc): n_shingles = count(*) (shingles_col yields >= 1 element
+    for every document, including empty text), n_boiler = count(marker).
+    The previous form computed the shingle array a second time for a
+    doc-sized ``sizes`` branch and re-joined it against the hit counts
+    (an extra scan + an extra doc-sized shuffle join); the join probe
+    volume here is identical to the old inner join's."""
     boiler = boilerplate_shingles(
         docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col
-    ).select("h")
+    ).select("h", F.lit(1).alias("b"))
     doc_sh = docs.select(
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), n).alias("sh"),
-    ).select("id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
-    ).select("id", "n_shingles", F.md5("shingle").alias("h"))
-    hits = (
-        doc_sh.join(boiler, "h")
-        # n_shingles is functionally dependent on id — grouping by both
-        # keeps it without a second join (same trick as decontaminate.py)
-        .groupBy("id", "n_shingles")
-        .agg(F.count("*").alias("n_boiler"))
-        .select("id", "n_boiler")
-    )
-    sizes = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(shingles_col(F.col(text_col), n)).alias("n_shingles"),
-    )
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.md5("shingle").alias("h"))
     return (
-        sizes.join(hits, "id", "left")
+        doc_sh.join(boiler, "h", "left")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shingles"), F.count("b").alias("n_boiler"))
         .select(
             F.col("id").alias(id_col),
             F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
             F.round(
-                F.coalesce(F.col("n_boiler"), F.lit(0))
+                F.col("n_boiler")
                 / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
                 4,
             ).alias("boiler_frac"),

@@ -228,5 +228,10 @@ def bloom_probe(
         pos.join(F.broadcast(sketch), "word", "left")
         .select("value", hit.alias("hit"))
         .groupBy("value")
-        .agg((F.sum("hit") == k).cast("long").alias("maybe_present"))
+        # min(hit) == 1 <=> every probed position is set.  NOT sum == k:
+        # a probe value appearing d times contributes d*k rows, so the sum
+        # test read d*k and reported a member absent — a false negative
+        # violating the Bloom contract (ADVICE r6).  min is duplicate-
+        # insensitive and agrees with sum == k on distinct probes.
+        .agg((F.min("hit") == 1).cast("long").alias("maybe_present"))
     )
