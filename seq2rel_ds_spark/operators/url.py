@@ -76,13 +76,26 @@ def crawl_dedup(
     """One row per canonical URL: the LATEST snapshot (max ``ts_col``,
     deterministic tie-break on the raw url string, then on remaining
     column values never — ties beyond (ts, url) cannot occur for distinct
-    rows of a crawl, where url+ts is the fetch identity)."""
-    w = Window.partitionBy("url_canon").orderBy(
-        F.col(ts_col).desc(), F.col(url_col).desc()
-    )
+    rows of a crawl, where url+ts is the fetch identity).
+
+    Shape (r07, closes the r6 hot-key item): latest-wins is the
+    lexicographic MAX of struct(ts, url, payload...) per canonical key,
+    computed by a groupBy aggregate — Catalyst's partial aggregation
+    collapses every task to one candidate row per key BEFORE the
+    exchange, so a pathologically hot canonical URL (one resource
+    refetched billions of times) costs O(tasks) merge rows instead of the
+    previous window top-1, which shuffled ALL of the hot key's rows into
+    one partition to sort them (the documented-but-unimplemented salted
+    two-phase max; partial+final aggregation IS the two-phase max with
+    the map side as the salt).  Row-identical: row_number over
+    (ts desc, url desc) = 1 picks exactly the lexicographic max of
+    (ts, url), and later struct fields never decide because (url, ts) is
+    the fetch identity."""
+    cu = with_canonical_url(pages, url_col=url_col)
+    payload = [c for c in pages.columns if c not in (ts_col, url_col)]
+    s = F.struct(F.col(ts_col), F.col(url_col), *[F.col(c) for c in payload])
     return (
-        with_canonical_url(pages, url_col=url_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        cu.groupBy("url_canon")
+        .agg(F.max(s).alias("_s"))
+        .select(*[F.col(f"_s.{c}").alias(c) for c in pages.columns], "url_canon")
     )

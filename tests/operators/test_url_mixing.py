@@ -58,6 +58,42 @@ class TestCanonicalUrl:
         assert len(out) == 1
         assert out[0]["url"] == "http://a.io/p?z=1#f2"  # desc url tie-break
 
+    def test_crawl_dedup_hot_key_partial_aggregates(self, spark):
+        """r07 skew posture: one canonical URL owning ~90% of the snapshot
+        rows must (a) still resolve latest-wins exactly and (b) run as a
+        partial-aggregated groupBy — each map task collapses the hot key
+        to one candidate before the exchange — not as a window sort that
+        ships every hot row to one partition."""
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from seq2rel_ds_spark.operators.url import crawl_dedup
+
+        t0 = datetime.datetime(2024, 1, 1)
+        hot = [
+            (f"http://hot.io/p?utm_source={i}", t0 + datetime.timedelta(minutes=i))
+            for i in range(900)
+        ]
+        cold = [
+            (f"http://c{i}.io/q", t0 + datetime.timedelta(minutes=i)) for i in range(100)
+        ]
+        df = spark.createDataFrame(
+            hot + cold, "url string, warc_ts timestamp"
+        ).repartition(8)
+        out = crawl_dedup(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert "Window" not in plan
+        assert "partial_max" in plan  # map-side combine collapses the hot key
+        rows = {r["url_canon"]: (r["url"], r["warc_ts"]) for r in out.collect()}
+        assert len(rows) == 101
+        assert rows["http://hot.io/p"] == (
+            "http://hot.io/p?utm_source=899",
+            t0 + datetime.timedelta(minutes=899),
+        )
+
 
 class TestCapTokensPerGroup:
     def _docs(self, spark):
