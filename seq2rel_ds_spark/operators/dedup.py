@@ -145,20 +145,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, n: int = 3, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of hex-string minima.
-
-    h_k(shingle) = md5(k || ':' || shingle); the signature entry is the
-    lexicographic minimum — a valid min-wise scheme over a random permutation
-    per k, and byte-portable to any engine with md5.
-    """
-    sh = shingles_col(text, n)
+def _minhash_sig_over(sh: Column, num_hashes: int) -> Column:
+    """Signature expression over an (ideally materialized) shingle column."""
 
     def hashed_min(k: int):
         prefix = F.lit(f"{k}:")
         return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(prefix, s))))
 
     return F.array(*[hashed_min(k) for k in range(num_hashes)])
+
+
+def minhash_signature(text: Column, n: int = 3, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of hex-string minima.
+
+    h_k(shingle) = md5(k || ':' || shingle); the signature entry is the
+    lexicographic minimum — a valid min-wise scheme over a random permutation
+    per k, and byte-portable to any engine with md5.
+
+    NOTE (r07): this convenience form embeds the shingle expression
+    ``num_hashes`` times in one projection, and interpreted HOF trees get
+    no common-subexpression elimination — the shingles are recomputed per
+    hash function (measured 10x slower at 16 hashes).  Performance-
+    sensitive callers (minhash_lsh_pairs) materialize the shingle column
+    in its own projection and use :func:`_minhash_sig_over` on the
+    attribute instead."""
+    return _minhash_sig_over(shingles_col(text, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -179,8 +190,13 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), n, num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"), sig.alias("sig"))
+    # materialize the shingle array ONCE per row, then derive the
+    # num_hashes minima from the attribute (r07): inlining the shingle
+    # expression into every minimum recomputed it per hash function
+    # (no CSE for interpreted HOF trees; measured 53s -> 5s at sf0.1)
+    with_sig = docs.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("_sh")
+    ).select("id", _minhash_sig_over(F.col("_sh"), num_hashes).alias("sig"))
     band_rows = with_sig.select(
         "id",
         F.explode(
@@ -233,15 +249,9 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """SimHash of the token multiset: per token, md5-derived bit pattern;
-    each output bit is the sign of the summed (+1/-1) votes.  Pure Catalyst.
-
-    Bits come from 4-bit nibbles of the token's md5 hex (16 nibbles x 4 bits
-    = 64).  Deterministic and engine-portable.
-    """
-    toks = F.split(normalized_text(text), " ")
-    hashed = F.transform(toks, lambda t: F.md5(t))
+def _simhash_over(hashed: Column, bits: int) -> Column:
+    """SimHash bit string from an (ideally materialized) md5-per-token
+    array column."""
 
     def vote(i: int):
         nibble_pos, bit_mask = i // 4 + 1, 1 << (i % 4)
@@ -264,6 +274,21 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     )
 
 
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash of the token multiset: per token, md5-derived bit pattern;
+    each output bit is the sign of the summed (+1/-1) votes.  Pure Catalyst.
+
+    Bits come from 4-bit nibbles of the token's md5 hex (16 nibbles x 4 bits
+    = 64).  Deterministic and engine-portable.
+
+    NOTE (r07): embeds the tokenize+md5 array in all ``bits`` vote folds —
+    recomputed per bit in interpreted evaluation (no CSE for HOF trees;
+    measured 2.8x slower at 64 bits).  simhash_pairs materializes the
+    hashed-token column and applies :func:`_simhash_over` instead."""
+    toks = F.split(normalized_text(text), " ")
+    return _simhash_over(F.transform(toks, lambda t: F.md5(t)), bits)
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -280,7 +305,12 @@ def simhash_pairs(
     """
     assert chunks > max_hamming, "pigeonhole requires chunks > max_hamming"
     width = bits // chunks
-    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
+    # materialize md5-per-token once, then the 64 vote folds read the
+    # attribute (r07; see simhash_col note — measured 13.5s -> 4.9s)
+    hashed = F.transform(F.split(normalized_text(F.col(text_col)), " "), lambda t: F.md5(t))
+    sh = docs.select(F.col(id_col).alias("id"), hashed.alias("_hashed")).select(
+        "id", _simhash_over(F.col("_hashed"), bits).alias("sh")
+    )
     chunked = sh.select(
         "id",
         "sh",
@@ -387,10 +417,15 @@ def embedding_neardup_pairs(
     from seq2rel_ds_spark.operators.similarity import quantize_vec, sign_lsh_bands
 
     v = quantize_vec(F.col(vec_col), scale)
-    nrm = F.sqrt(
-        F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + x * x).cast("double")
+    # quantize once; the norm fold reads the materialized attribute (r07)
+    e = embeddings.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a, x: a + x * x).cast(
+                "double"
+            )
+        ),
     )
-    e = embeddings.select(F.col(id_col).alias("id"), v.alias("v"), nrm.alias("nrm"))
 
     if all_pairs:
         cand = (
