@@ -895,9 +895,13 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         )
     )
-    e = emb.select(
-        F.col("vec_id").alias("id"), v.alias("v"), sign_lsh_bucket(v, 64, planes=4).alias("bucket")
-    ).withColumn("nrm", nrm)
+    # quantize once; bucket bits and norm read the attribute (r07 — the
+    # inline form re-ran quantization once per plane plus once for v)
+    e = (
+        emb.select(F.col("vec_id").alias("id"), v.alias("v"))
+        .withColumn("bucket", sign_lsh_bucket(F.col("v"), 64, planes=4))
+        .withColumn("nrm", nrm)
+    )
     queries = e.filter(F.col("id") < 10).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seq2rel_ds_spark.operators.dedup import shingles_col
+from seq2rel_ds_spark.operators.dedup import shingles_from_tokens, tokens_for_shingles
 
 
 def boilerplate_shingles(
@@ -44,7 +44,8 @@ def boilerplate_shingles(
     ``min_docs`` distinct documents, with their document frequency."""
     doc_sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        tokens_for_shingles(F.col(text_col)).alias("_toks"),
+    ).select("id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     ).select("id", F.md5("shingle").alias("h"))
     # shingle sets are per-doc distinct -> count(*) IS the doc frequency,
     # and map-side combine applies (no count-distinct state)
@@ -80,7 +81,8 @@ def with_boilerplate_frac(
     ).select("h", F.lit(1).alias("b"))
     doc_sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        tokens_for_shingles(F.col(text_col)).alias("_toks"),
+    ).select("id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     ).select("id", F.md5("shingle").alias("h"))
     return (
         doc_sh.join(boiler, "h", "left")

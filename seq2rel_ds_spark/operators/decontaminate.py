@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from seq2rel_ds_spark.operators.dedup import shingles_col
+from seq2rel_ds_spark.operators.dedup import shingles_from_tokens, tokens_for_shingles
 
 
 def ngram_contamination(
@@ -53,14 +53,18 @@ def ngram_contamination(
     # grouped rows are the semi-join survivors, i.e. O(overlap)
     doc_sh = docs.select(
         F.col(id_col).alias("id"),
-        shingles_col(F.col(text_col), n).alias("sh"),
+        tokens_for_shingles(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
+        shingles_from_tokens(F.col("_toks"), n).alias("sh"),
     ).select(
         "id",
         F.size("sh").alias("n_shingles"),
         F.explode("sh").alias("shingle"),
     ).select("id", "n_shingles", F.md5("shingle").alias("h"))
     eval_sh = (
-        eval_docs.select(F.explode(shingles_col(F.col(eval_text_col), n)).alias("shingle"))
+        eval_docs.select(tokens_for_shingles(F.col(eval_text_col)).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
         .select(F.md5("shingle").alias("h"))
         .distinct()
     )

@@ -141,17 +141,29 @@ def lsh_topk(
     from exact integer projections of the quantized vector (deterministic
     across engines); scoring stays full-precision double on the raw vector.
     """
-    bucket = sign_lsh_bucket(quantize_vec(F.col(vec_col)), dim, planes)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        bucket.alias("bucket"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        bucket.alias("bucket"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    # quantize once per row and derive the per-plane sign bits from the
+    # attribute (r07): an inline quantize inside sign_lsh_bucket is
+    # re-evaluated once per plane (no CSE for interpreted HOF trees)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            quantize_vec(F.col(vec_col)).alias("_vq"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("_vq"), dim, planes))
+        .drop("_vq")
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            quantize_vec(F.col(vec_col)).alias("_vq"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("_vq"), dim, planes))
+        .drop("_vq")
+        .withColumn("qn", _norm(F.col("qv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("corpus_id") != F.col("query_id"))

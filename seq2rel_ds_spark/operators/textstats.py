@@ -39,17 +39,21 @@ def tokens_col(text: Column) -> Column:
 
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_tokens, n_distinct_tokens, avg_token_len (rounded, 4dp)."""
-    toks = tokens_col(F.col(text_col))
+    # materialize the token array once (r07): three consumers of an inline
+    # split would each re-evaluate it (no CSE across interpreted exprs)
+    toks = F.col("_toks")
     # sum of token lengths == length of the concatenation (r07): one
     # codegen'd array_join+length instead of an interpreted aggregate fold
     sum_len = F.length(F.array_join(toks, "")).cast("long")
     return (
-        docs.withColumn("n_tokens", F.size(toks))
+        docs.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("n_tokens", F.size(toks))
         .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
         .withColumn(
             "avg_token_len",
             F.round(sum_len / F.greatest(F.size(toks), F.lit(1)), 4),
         )
+        .drop("_toks")
     )
 
 
@@ -65,17 +69,24 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     WITH multiplicity (unlike dedup.shingles_col, which is a set): the
     signal is how much of the doc is repeats, so duplicates must weigh.
     """
-    toks = tokens_col(F.col(text_col))
+    # materialize tokens AND trigrams (r07): the trigram transform's lambda
+    # references the token array per position, so an inline split made the
+    # pass O(tokens^2) in split work; the distinct/size consumers likewise
+    # re-evaluated their argument per reference
+    toks = F.col("_toks")
     k = F.size(toks) - F.lit(2)
-    tris = F.when(
+    tris_expr = F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(0), k - 1),
             lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    tris = F.col("_tris")
     return (
-        docs.withColumn("n_tokens", F.size(toks))
+        docs.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("_tris", tris_expr)
+        .withColumn("n_tokens", F.size(toks))
         .withColumn(
             "dup_token_frac",
             F.round(
@@ -96,6 +107,7 @@ def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 ),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("_toks", "_tris")
     )
 
 
@@ -106,7 +118,8 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Deterministic arithmetic only; 4dp rounding for oracle stability.
     """
-    toks = tokens_col(F.col(text_col))
+    # token array materialized once for its four consumers (r07)
+    toks = F.col("_toks")
     n = F.greatest(F.size(toks), F.lit(1)).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))).cast(
@@ -131,14 +144,27 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # exactness once 20000*num exceeds 2^53 (multi-million-token docs).
     x = num.cast("decimal(38,0)") * 20000 + den.cast("decimal(38,0)")
     y = den.cast("decimal(38,0)") * 2
-    score4 = ((x - F.pmod(x, y)) / y).cast("long")
-    return docs.withColumn("quality_score", score4 / 10000.0)
+    # x and y are each referenced twice by the floor-division — materialize
+    # them (and the token array) so the stopword filter runs once per row
+    score4 = (
+        (F.col("_x") - F.pmod(F.col("_x"), F.col("_y"))) / F.col("_y")
+    ).cast("long")
+    return (
+        docs.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("_x", x)
+        .withColumn("_y", y)
+        .withColumn("quality_score", score4 / 10000.0)
+        .drop("_toks", "_x", "_y")
+    )
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language guess: argmax of per-language hit counts,
     deterministic tie-break on language code; 'und' when nothing matches."""
-    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    # materialize the lowered token array (one eval instead of one per
+    # profile) and the winning struct (one argmax instead of one per
+    # output column) — r07
+    toks = F.col("_toks")
 
     def profile_hits(words):
         word_arr = F.array(*[F.lit(w) for w in words])
@@ -153,10 +179,19 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for lang, words in sorted(LANG_PROFILES.items())
         ]
     )
-    best = F.get(F.array_sort(scored), 0)
-    return docs.withColumn(
-        "lang_guess", F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
-    ).withColumn("lang_guess_hits", -best["neg_hits"])
+    best = F.col("_best")
+    return (
+        docs.withColumn(
+            "_toks", F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+        )
+        .withColumn("_best", F.get(F.array_sort(scored), 0))
+        .withColumn(
+            "lang_guess",
+            F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_guess_hits", -best["neg_hits"])
+        .drop("_toks", "_best")
+    )
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -168,7 +203,8 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
       computed JVM-side via ``aggregate`` (no UDF); used for shard-local
       chunk fingerprinting at scale.
     """
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # normalized text materialized once for the md5 and the rolling fold
+    norm = F.col("_norm")
     # largest prime < 2^53: keeps acc*131+c < 2^63 (no ANSI long overflow)
     mod = F.lit(9007199254740881).cast("long")
     roll = F.aggregate(
@@ -176,7 +212,14 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * 131 + c, mod),
     )
-    return docs.withColumn("fp_md5", F.md5(norm)).withColumn("fp_roll", roll)
+    return (
+        docs.withColumn(
+            "_norm", F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+        )
+        .withColumn("fp_md5", F.md5(norm))
+        .withColumn("fp_roll", roll)
+        .drop("_norm")
+    )
 
 
 def token_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -257,18 +300,23 @@ def with_filter_flags(
     module.  Downstream drops rows with ``keep = 0`` (the common case
     keeps the corpus streaming with zero exchange).
     """
-    toks = tokens_col(F.col(text_col))
+    # token and trigram arrays materialized once (r07): the trigram
+    # transform's lambda reads the token array per position (an inline
+    # split would be re-evaluated per trigram — O(tokens^2)), and the six
+    # rule expressions share both arrays
+    toks = F.col("_toks")
     n = F.size(toks).cast("long")
     # same array_join trick as with_token_stats: codegen, no HOF fold
     sum_len = F.length(F.array_join(toks, "")).cast("long")
     k = F.size(toks) - F.lit(2)
-    tris = F.when(
+    tris_expr = F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(0), k - 1),
             lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    tris = F.col("_tris")
     n_tri = F.size(tris).cast("long")
     n_tri_d = F.size(F.array_distinct(tris)).cast("long")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
@@ -283,7 +331,9 @@ def with_filter_flags(
     f_dup3 = ((n_tri > 0) & (100 * (n_tri - n_tri_d) > dup3_pct_max * n_tri)).cast("int")
     f_stop = (64 * n_stop < stop_per_64_min * n).cast("int")
     return (
-        docs.withColumn("f_short", f_short)
+        docs.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("_tris", tris_expr)
+        .withColumn("f_short", f_short)
         .withColumn("f_long", f_long)
         .withColumn("f_wordlen", f_wordlen)
         .withColumn("f_dup3", f_dup3)
@@ -295,6 +345,7 @@ def with_filter_flags(
                  + F.col("f_dup3") + F.col("f_stop")) == 0
             ).cast("int"),
         )
+        .drop("_toks", "_tris")
     )
 
 
