@@ -101,15 +101,20 @@ def parse_documents(
     """Normalize (doc_id, title, abstract, ann_lines) into clusters+relations."""
     assert text_segment in ("title", "abstract", "both")
 
-    cols = F.transform(F.col("ann_lines"), lambda ln: F.split(F.trim(ln), "\t"))
     is_mention = lambda c: is_int_col(F.get(c, 1)) & is_int_col(F.get(c, 2))  # noqa: E731
 
     df = docs.withColumn("text", _segment_text(text_segment))
     if drop_missing_segment:
         df = df.filter(F.col("text").isNotNull())
 
-    df = df.withColumn("_mcols", F.filter(cols, is_mention)).withColumn(
-        "_rcols", F.filter(cols, lambda c: ~is_mention(c))
+    # split every annotation line ONCE (r07): the mention/relation filters
+    # both consume the tokenized lines, and two inline references would
+    # re-run the per-line split (no CSE across interpreted HOF exprs)
+    df = df.withColumn(
+        "_cols", F.transform(F.col("ann_lines"), lambda ln: F.split(F.trim(ln), "\t"))
+    )
+    df = df.withColumn("_mcols", F.filter(F.col("_cols"), is_mention)).withColumn(
+        "_rcols", F.filter(F.col("_cols"), lambda c: ~is_mention(c))
     )
 
     # Malformed mention lines: wrong column count (util.py:173-184).
