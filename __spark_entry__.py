@@ -930,53 +930,42 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 10 (integer-
     quantized for cross-engine exactness).
 
-    Shape (r07): quantization stays in Catalyst (exactly the old
-    round-half-up -> long), the 10 query vectors — KB-bounded by the
-    ``vec_id < 10`` construction, the same bounded-collect class as the
-    web_kg dictionary — ride the task closure, and the N x 10 integer dot
-    products run as ONE numpy matmul per Arrow batch instead of N x 10
-    interpreted zip_with/aggregate trees (guide §4.2).  Bit-parity
-    argument: int64 dots and squared norms are exact in both engines;
-    sqrt/multiply/divide are single IEEE double ops in the same order; the
-    6dp half-up round stays in Catalyst — so every cosine byte matches the
-    previous plan's."""
+    Shape (r07): norms are computed ONCE PER ROW before the broadcast
+    cross join — previously the nv/nq aggregate folds sat inside the
+    per-pair projection and re-ran per (corpus, query) pair (interpreted
+    HOFs get no CSE), tripling the per-pair fold work.  Only the dot
+    product is inherently per-pair.  A numpy mapInArrow/mapInPandas
+    variant was measured too: 3x faster warm at 10x vectors, but it pays
+    ~2.5s of one-shot Python-worker spin-up in the bench's cold
+    single-shot session (ann_topk is the only Python stage in the timed
+    leg), which makes it a net LOSS at sf0.1 and only break-even at sf1
+    — so the all-Catalyst form wins at both driver-measured scales and
+    is kept (evidence in OPTIMIZATION_r07.md)."""
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
-    e = emb.select(F.col("vec_id").alias("id"), qv.alias("v"))
-    q_rows = sorted(e.filter(F.col("id") < 10).collect(), key=lambda r: r["id"])
-
-    def score_batches(batches):
-        import numpy as np
-        import pandas as pd
-
-        Q = np.array([r["v"] for r in q_rows], dtype=np.int64)
-        qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
-        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-        k = len(qids)
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            V = np.array(pdf["v"].tolist(), dtype=np.int64)
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            nv = np.sqrt((V * V).sum(axis=1).astype(np.float64))
-            cos = (V @ Q.T).astype(np.float64) / (nv[:, None] * qn[None, :])
-            out_ids = np.repeat(ids, k)
-            out_qids = np.tile(qids, n)
-            mask = out_ids != out_qids
-            yield pd.DataFrame(
-                {
-                    "query_id": out_qids[mask],
-                    "id": out_ids[mask],
-                    "cosine": cos.ravel()[mask],
-                }
-            )
-
-    scored = e.mapInPandas(
-        score_batches, schema="query_id long, id long, cosine double"
-    ).withColumn("cosine", F.round("cosine", 6))
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0).cast("long"), lambda a_, x: a_ + x * x).cast(
+            "double"
+        )
+    )
+    e = emb.select(F.col("vec_id").alias("id"), qv.alias("v")).withColumn("nrm", nrm)
+    queries = e.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot.cast("double") / (F.col("nrm") * F.col("qn")), 6))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
